@@ -1,0 +1,1281 @@
+"""MJCF element tree → ``physics.Model`` pytree (ahead-of-time compiler).
+
+This replaces the native MuJoCo model compiler (mj_loadXML/mj_compile,
+reached by the reference through dm_control/mujoco/wrapper/core.py:331)
+with a host-side numpy pass that produces the static arrays the TPU engine
+consumes.  Semantics follow the MJCF modeling language: default-class
+resolution, frame orientation attributes, density-based geom inertia,
+actuator shortcuts, etc.
+
+Everything here runs once per model on the host; nothing is traced.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from dm_control_tpu.mjcf.element import Element
+from dm_control_tpu.physics.model import (
+    BiasType, DynType, EqType, GainType, GeomType, IntegratorType, JointType,
+    Model, NameMap, ObjType, Option, SensorType, SolverType, Statistic,
+    TrnType, WrapType, ConeType, DisableBit, static_field,
+)
+
+_MINVAL = 1e-15
+
+# ---------------------------------------------------------------------------
+# Attribute parsing.
+# ---------------------------------------------------------------------------
+
+
+def _floats(v, n=None, pad=0.0) -> Optional[np.ndarray]:
+    """Parses a float-array attribute; pads/truncates to n if given."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        arr = np.array([float(x) for x in v.split()], dtype=np.float64)
+    elif isinstance(v, (int, float)):
+        arr = np.array([float(v)], dtype=np.float64)
+    else:
+        arr = np.asarray(v, dtype=np.float64).ravel()
+    if n is not None:
+        if arr.size < n:
+            arr = np.concatenate([arr, np.full(n - arr.size, pad)])
+        arr = arr[:n]
+    return arr
+
+
+def _float(v, default=None) -> Optional[float]:
+    if v is None:
+        return default
+    return float(v)
+
+
+def _int(v, default=None) -> Optional[int]:
+    if v is None:
+        return default
+    return int(v)
+
+
+def _bool(v, default=None) -> Optional[bool]:
+    if v is None:
+        return default
+    if isinstance(v, bool):
+        return v
+    return {"true": True, "false": False, "1": True, "0": False}[str(v).lower()]
+
+
+def _kw(v, table: Dict[str, int], default=None) -> Optional[int]:
+    if v is None:
+        return default
+    if isinstance(v, int):
+        return v
+    return table[str(v).lower()]
+
+
+class _Compiler:
+    """One-shot compiler state."""
+
+    def __init__(self, root: Element, dtype):
+        if root.tag != "mujoco":
+            raise ValueError(f"Root element must be <mujoco>, got <{root.tag}>")
+        self.root = root
+        self.dtype = dtype
+        self.model_name = root.get("model", "MuJoCo Model")
+
+        # compiler settings
+        comp = root.first("compiler") or Element("compiler")
+        self.angle_deg = (comp.get("angle", "degree") == "degree")
+        self.eulerseq = comp.get("eulerseq", "xyz")
+        self.settotalmass = _float(comp.get("settotalmass"), -1.0)
+        self.autolimits = _bool(comp.get("autolimits"), False)
+        self.boundmass = _float(comp.get("boundmass"), 0.0)
+        self.boundinertia = _float(comp.get("boundinertia"), 0.0)
+
+        # defaults tree: class name -> {elemtag -> merged attrib dict}
+        self.defaults: Dict[str, Dict[str, Dict[str, object]]] = {}
+        self._build_defaults()
+
+        # output accumulators
+        self.bodies: List[dict] = []
+        self.joints: List[dict] = []
+        self.dofs: List[dict] = []
+        self.geoms: List[dict] = []
+        self.sites: List[dict] = []
+        self.cams: List[dict] = []
+        self.tendons: List[dict] = []
+        self.wraps: List[dict] = []
+        self.actuators: List[dict] = []
+        self.sensors: List[dict] = []
+        self.equalities: List[dict] = []
+        self.excludes: List[tuple] = []
+
+    # -- angles / orientations ---------------------------------------------
+
+    def _ang(self, x):
+        """degrees → radians when compiler angle='degree'."""
+        if x is None:
+            return None
+        x = np.asarray(x, dtype=np.float64)
+        return np.deg2rad(x) if self.angle_deg else x
+
+    def _orientation(self, attrs: Dict[str, object]) -> np.ndarray:
+        """Resolves quat/euler/axisangle/xyaxes/zaxis → unit quaternion."""
+        quat = _floats(attrs.get("quat"), 4)
+        if quat is not None:
+            n = np.linalg.norm(quat)
+            return quat / (n if n > _MINVAL else 1.0)
+        euler = _floats(attrs.get("euler"), 3)
+        if euler is not None:
+            return _euler_to_quat(self._ang(euler), self.eulerseq)
+        aa = _floats(attrs.get("axisangle"), 4)
+        if aa is not None:
+            axis = aa[:3] / max(np.linalg.norm(aa[:3]), _MINVAL)
+            return _axis_angle_quat(axis, float(self._ang(aa[3])))
+        xyaxes = _floats(attrs.get("xyaxes"), 6)
+        if xyaxes is not None:
+            x = xyaxes[:3] / max(np.linalg.norm(xyaxes[:3]), _MINVAL)
+            y = xyaxes[3:]
+            y = y - x * (x @ y)
+            y /= max(np.linalg.norm(y), _MINVAL)
+            z = np.cross(x, y)
+            return _mat_to_quat(np.stack([x, y, z], axis=1))
+        zaxis = _floats(attrs.get("zaxis"), 3)
+        if zaxis is not None:
+            return _z_to_quat(zaxis)
+        return np.array([1.0, 0, 0, 0])
+
+    # -- defaults -----------------------------------------------------------
+
+    def _build_defaults(self):
+        def walk(delem: Element, inherited: Dict[str, Dict[str, object]]):
+            cls = delem.get("class", "main")
+            merged = {tag: dict(d) for tag, d in inherited.items()}
+            for child in delem.children:
+                if child.tag == "default":
+                    continue
+                merged.setdefault(child.tag, {})
+                merged[child.tag].update(
+                    {k: v for k, v in child.attrib.items() if k != "class"}
+                )
+            self.defaults[cls] = merged
+            for child in delem.children:
+                if child.tag == "default":
+                    walk(child, merged)
+
+        top = self.root.first("default")
+        if top is not None and top.get("class") is None:
+            top.attrib["class"] = "main"
+        if top is not None:
+            walk(top, {})
+        self.defaults.setdefault("main", {})
+
+    def _resolve(self, elem: Element, cls: Optional[str],
+                 tag: Optional[str] = None) -> Dict[str, object]:
+        """Effective attributes = defaults[class][tag] overlaid by explicit."""
+        tag = tag or elem.tag
+        cls = elem.get("class") or cls or "main"
+        base = dict(self.defaults.get(cls, self.defaults["main"]).get(tag, {}))
+        base.update(elem.attrib)
+        return base
+
+    # -- main compile -------------------------------------------------------
+
+    def compile(self) -> Model:
+        self._compile_options()
+        world = self.root.first("worldbody")
+        if world is None:
+            raise ValueError("Model has no <worldbody>.")
+        # body 0 = world
+        self.bodies.append(dict(
+            name="world", parentid=0, pos=np.zeros(3), quat=np.array([1.0, 0, 0, 0]),
+            explicit_inertial=False, mass=0.0, ipos=np.zeros(3),
+            iquat=np.array([1.0, 0, 0, 0]), inertia=np.zeros(3),
+            jntadr=-1, jntnum=0, dofadr=-1, dofnum=0, geomadr=0, geomnum=0,
+            world_pos=np.zeros(3), world_quat=np.array([1.0, 0, 0, 0]),
+            static_chain=True,
+        ))
+        self._compile_body_children(world, 0, None)
+        self._finalize_bodies()
+        self._compile_tendons()
+        self._compile_actuators()
+        self._compile_sensors()
+        self._compile_equality()
+        self._compile_contact()
+        return self._build_model()
+
+    def _compile_options(self):
+        opt_el = self.root.first("option") or Element("option")
+        flag_el = opt_el.first("flag") or Element("flag")
+        self.opt_timestep = _float(opt_el.get("timestep"), 0.002)
+        self.opt_gravity = _floats(opt_el.get("gravity"), 3)
+        if self.opt_gravity is None:
+            self.opt_gravity = np.array([0.0, 0, -9.81])
+        self.opt_wind = _floats(opt_el.get("wind"), 3)
+        if self.opt_wind is None:
+            self.opt_wind = np.zeros(3)
+        self.opt_magnetic = _floats(opt_el.get("magnetic"), 3)
+        if self.opt_magnetic is None:
+            self.opt_magnetic = np.array([0.0, -0.5, 0.0])
+        self.opt_density = _float(opt_el.get("density"), 0.0)
+        self.opt_viscosity = _float(opt_el.get("viscosity"), 0.0)
+        self.opt_impratio = _float(opt_el.get("impratio"), 1.0)
+        self.opt_tolerance = _float(opt_el.get("tolerance"), 1e-8)
+        self.opt_integrator = _kw(opt_el.get("integrator"), {
+            "euler": 0, "rk4": 1, "implicit": 2, "implicitfast": 3}, 0)
+        self.opt_cone = _kw(opt_el.get("cone"), {"pyramidal": 0, "elliptic": 1}, 0)
+        self.opt_solver = _kw(opt_el.get("solver"), {"pgs": 0, "cg": 1, "newton": 2}, 2)
+        self.opt_iterations = _int(opt_el.get("iterations"), 100)
+        self.opt_ls_iterations = _int(opt_el.get("ls_iterations"), 50)
+        self.opt_noslip = _int(opt_el.get("noslip_iterations"), 0)
+        self.opt_o_margin = _float(opt_el.get("o_margin"), 0.0)
+
+        disable = 0
+        for attr, bit in [
+            ("constraint", DisableBit.CONSTRAINT), ("equality", DisableBit.EQUALITY),
+            ("frictionloss", DisableBit.FRICTIONLOSS), ("limit", DisableBit.LIMIT),
+            ("contact", DisableBit.CONTACT), ("passive", DisableBit.PASSIVE),
+            ("gravity", DisableBit.GRAVITY), ("clampctrl", DisableBit.CLAMPCTRL),
+            ("warmstart", DisableBit.WARMSTART),
+            ("filterparent", DisableBit.FILTERPARENT),
+            ("actuation", DisableBit.ACTUATION), ("refsafe", DisableBit.REFSAFE),
+        ]:
+            if flag_el.get(attr) == "disable":
+                disable |= int(bit)
+        self.opt_disableflags = disable
+        self.flag_energy = flag_el.get("energy") == "enable"
+
+    # -- body tree ----------------------------------------------------------
+
+    def _compile_body_children(self, elem: Element, bodyid: int,
+                               childclass: Optional[str]):
+        body = self.bodies[bodyid]
+        for child in elem.children:
+            if child.tag == "body":
+                self._compile_body(child, bodyid, childclass)
+            elif child.tag in ("joint", "freejoint"):
+                self._compile_joint(child, bodyid, childclass)
+            elif child.tag == "geom":
+                self._compile_geom(child, bodyid, childclass)
+            elif child.tag == "site":
+                self._compile_site(child, bodyid, childclass)
+            elif child.tag == "camera":
+                self._compile_camera(child, bodyid, childclass)
+            elif child.tag == "inertial":
+                self._compile_inertial(child, bodyid)
+            elif child.tag == "light":
+                pass  # rendering is off-path
+            else:
+                raise ValueError(
+                    f"Unsupported element <{child.tag}> in body "
+                    f"{body['name']!r}.")
+
+    def _compile_body(self, elem: Element, parentid: int,
+                      childclass: Optional[str]):
+        parent = self.bodies[parentid]
+        cc = elem.get("childclass") or childclass
+        attrs = dict(elem.attrib)
+        pos = _floats(attrs.get("pos"), 3)
+        pos = pos if pos is not None else np.zeros(3)
+        quat = self._orientation(attrs)
+        bodyid = len(self.bodies)
+        # world frame in default configuration (valid while chain is static)
+        wq = _quat_mul(parent["world_quat"], quat)
+        wp = parent["world_pos"] + _quat_rot(parent["world_quat"], pos)
+        self.bodies.append(dict(
+            name=attrs.get("name", f"body{bodyid}"),
+            parentid=parentid, pos=pos, quat=quat,
+            explicit_inertial=False, mass=0.0, ipos=np.zeros(3),
+            iquat=np.array([1.0, 0, 0, 0]), inertia=np.zeros(3),
+            jntadr=-1, jntnum=0, dofadr=-1, dofnum=0, geomadr=-1, geomnum=0,
+            world_pos=wp, world_quat=wq, static_chain=parent["static_chain"],
+        ))
+        self._compile_body_children(elem, bodyid, cc)
+
+    def _compile_inertial(self, elem: Element, bodyid: int):
+        body = self.bodies[bodyid]
+        attrs = self._resolve(elem, None)
+        body["explicit_inertial"] = True
+        body["mass"] = _float(attrs.get("mass"), 0.0)
+        pos = _floats(attrs.get("pos"), 3)
+        body["ipos"] = pos if pos is not None else np.zeros(3)
+        body["iquat"] = self._orientation(attrs)
+        diag = _floats(attrs.get("diaginertia"), 3)
+        if diag is not None:
+            body["inertia"] = diag
+        else:
+            full = _floats(attrs.get("fullinertia"), 6)
+            if full is not None:
+                mat = np.array([
+                    [full[0], full[3], full[4]],
+                    [full[3], full[1], full[5]],
+                    [full[4], full[5], full[2]],
+                ])
+                vals, vecs = _principal(mat)
+                body["inertia"] = vals
+                body["iquat"] = _quat_mul(body["iquat"], _mat_to_quat(vecs))
+
+    def _compile_joint(self, elem: Element, bodyid: int,
+                       childclass: Optional[str]):
+        body = self.bodies[bodyid]
+        body["static_chain"] = False
+        if elem.tag == "freejoint":
+            attrs = {"type": "free", "name": elem.get("name")}
+        else:
+            attrs = self._resolve(elem, childclass, "joint")
+        jtype = JointType({"free": 0, "ball": 1, "slide": 2, "hinge": 3}[
+            str(attrs.get("type", "hinge"))])
+        if jtype == JointType.FREE and not body["static_chain"]:
+            pass  # checked in finalize (ancestors must be static)
+        axis = _floats(attrs.get("axis"), 3)
+        axis = axis if axis is not None else np.array([0.0, 0, 1.0])
+        axis = axis / max(np.linalg.norm(axis), _MINVAL)
+        rng = _floats(attrs.get("range"), 2)
+        has_range = rng is not None and not np.all(rng == 0)
+        limited = _bool(attrs.get("limited"),
+                        has_range if self.autolimits else False)
+        rng = rng if rng is not None else np.zeros(2)
+        if jtype in (JointType.HINGE, JointType.BALL):
+            rng = self._ang(rng)
+        ref = _float(attrs.get("ref"), 0.0)
+        springref = _float(attrs.get("springref"), 0.0)
+        if jtype == JointType.HINGE:
+            ref = float(self._ang(ref))
+            springref = float(self._ang(springref))
+        jid = len(self.joints)
+        if body["jntadr"] < 0:
+            body["jntadr"] = jid
+        body["jntnum"] += 1
+        pos = _floats(attrs.get("pos"), 3)
+        self.joints.append(dict(
+            name=attrs.get("name", f"joint{jid}"),
+            type=jtype, bodyid=bodyid, axis=axis,
+            pos=pos if pos is not None else np.zeros(3),
+            limited=bool(limited), range=rng,
+            margin=float(self._ang(_float(attrs.get("margin"), 0.0))
+                         if jtype in (JointType.HINGE, JointType.BALL)
+                         else _float(attrs.get("margin"), 0.0)),
+            ref=ref, springref=springref,
+            stiffness=_float(attrs.get("stiffness"), 0.0),
+            damping=_float(attrs.get("damping"), 0.0),
+            armature=_float(attrs.get("armature"), 0.0),
+            frictionloss=_float(attrs.get("frictionloss"), 0.0),
+            solref=_floats(attrs.get("solreflimit"), 2) if attrs.get("solreflimit") is not None else np.array([0.02, 1.0]),
+            solimp=_floats(attrs.get("solimplimit"), 5) if attrs.get("solimplimit") is not None else np.array([0.9, 0.95, 0.001, 0.5, 2.0]),
+            solref_fri=_floats(attrs.get("solreffriction"), 2) if attrs.get("solreffriction") is not None else np.array([0.02, 1.0]),
+            solimp_fri=_floats(attrs.get("solimpfriction"), 5) if attrs.get("solimpfriction") is not None else np.array([0.9, 0.95, 0.001, 0.5, 2.0]),
+        ))
+
+    _GEOM_TYPES = {"plane": 0, "hfield": 1, "sphere": 2, "capsule": 3,
+                   "ellipsoid": 4, "cylinder": 5, "box": 6, "mesh": 7}
+
+    def _compile_geom(self, elem: Element, bodyid: int,
+                      childclass: Optional[str]):
+        body = self.bodies[bodyid]
+        attrs = self._resolve(elem, childclass, "geom")
+        gtype = GeomType(self._GEOM_TYPES[str(attrs.get("type", "sphere"))])
+        size = _floats(attrs.get("size"), 3, pad=0.0)
+        if size is None:
+            size = np.zeros(3)
+        pos = _floats(attrs.get("pos"), 3)
+        pos = pos if pos is not None else np.zeros(3)
+        quat = self._orientation(attrs)
+        fromto = _floats(attrs.get("fromto"), 6)
+        if fromto is not None:
+            f, t = fromto[:3], fromto[3:]
+            pos = 0.5 * (f + t)
+            quat = _z_to_quat(t - f)
+            half = 0.5 * np.linalg.norm(t - f)
+            if gtype in (GeomType.CAPSULE, GeomType.CYLINDER):
+                size = np.array([size[0], half, 0.0])
+            elif gtype in (GeomType.BOX, GeomType.ELLIPSOID):
+                size = np.array([size[0], size[1], half])
+        gid = len(self.geoms)
+        if body["geomadr"] < 0:
+            body["geomadr"] = gid
+        body["geomnum"] += 1
+        mass = _float(attrs.get("mass"))
+        density = _float(attrs.get("density"), 1000.0)
+        friction = _floats(attrs.get("friction"), 3)
+        if friction is None:
+            friction = np.array([1.0, 0.005, 0.0001])
+        else:
+            # partial friction spec keeps defaults for missing entries
+            raw = _floats(attrs.get("friction"))
+            dflt = np.array([1.0, 0.005, 0.0001])
+            friction = np.concatenate([raw, dflt[raw.size:]])[:3]
+        self.geoms.append(dict(
+            name=attrs.get("name", f"geom{gid}"),
+            type=gtype, bodyid=bodyid, size=size, pos=pos, quat=quat,
+            contype=_int(attrs.get("contype"), 1),
+            conaffinity=_int(attrs.get("conaffinity"), 1),
+            condim=_int(attrs.get("condim"), 3),
+            priority=_int(attrs.get("priority"), 0),
+            friction=friction,
+            solmix=_float(attrs.get("solmix"), 1.0),
+            solref=_floats(attrs.get("solref"), 2) if attrs.get("solref") is not None else np.array([0.02, 1.0]),
+            solimp=_floats(attrs.get("solimp"), 5) if attrs.get("solimp") is not None else np.array([0.9, 0.95, 0.001, 0.5, 2.0]),
+            margin=_float(attrs.get("margin"), 0.0),
+            gap=_float(attrs.get("gap"), 0.0),
+            mass=mass, density=density,
+            rgba=_floats(attrs.get("rgba"), 4) if attrs.get("rgba") is not None else np.array([0.5, 0.5, 0.5, 1.0]),
+            group=_int(attrs.get("group"), 0),
+            hfieldname=attrs.get("hfield"),
+        ))
+
+    _SITE_TYPES = {"sphere": 2, "capsule": 3, "ellipsoid": 4, "cylinder": 5,
+                   "box": 6}
+
+    def _compile_site(self, elem: Element, bodyid: int,
+                      childclass: Optional[str]):
+        body = self.bodies[bodyid]
+        attrs = self._resolve(elem, childclass, "site")
+        pos = _floats(attrs.get("pos"), 3)
+        pos = pos if pos is not None else np.zeros(3)
+        quat = self._orientation(attrs)
+        size = _floats(attrs.get("size"), 3, pad=0.0)
+        if size is None:
+            size = np.array([0.005, 0.005, 0.005])
+        elif np.all(size[1:] == 0):
+            size = np.array([size[0]] * 3) if size[0] > 0 else np.array([0.005] * 3)
+        fromto = _floats(attrs.get("fromto"), 6)
+        if fromto is not None:
+            f, t = fromto[:3], fromto[3:]
+            pos = 0.5 * (f + t)
+            quat = _z_to_quat(t - f)
+        sid = len(self.sites)
+        self.sites.append(dict(
+            name=attrs.get("name", f"site{sid}"),
+            type=self._SITE_TYPES[str(attrs.get("type", "sphere"))],
+            bodyid=bodyid, pos=pos, quat=quat, size=size,
+        ))
+
+    def _compile_camera(self, elem: Element, bodyid: int,
+                        childclass: Optional[str]):
+        attrs = self._resolve(elem, childclass, "camera")
+        pos = _floats(attrs.get("pos"), 3)
+        self.cams.append(dict(
+            name=attrs.get("name", f"cam{len(self.cams)}"),
+            bodyid=bodyid,
+            pos=pos if pos is not None else np.zeros(3),
+            quat=self._orientation(attrs),
+            fovy=_float(attrs.get("fovy"), 45.0),
+            mode=attrs.get("mode", "fixed"),
+        ))
+
+    # -- inertia from geoms -------------------------------------------------
+
+    def _finalize_bodies(self):
+        # geom masses/inertias
+        for g in self.geoms:
+            vol, inert_unit = _geom_volume_inertia(g["type"], g["size"])
+            if g["mass"] is not None:
+                m = g["mass"]
+            else:
+                m = g["density"] * vol
+            g["computed_mass"] = m
+            # inertia about geom CoM, diagonal in geom frame (unit mass basis)
+            g["computed_inertia"] = inert_unit * m
+
+        for bodyid, body in enumerate(self.bodies):
+            if bodyid == 0 or body["explicit_inertial"]:
+                continue
+            gs = [g for g in self.geoms if g["bodyid"] == bodyid]
+            total = sum(g["computed_mass"] for g in gs)
+            if total <= 0 or not gs:
+                body["mass"] = max(0.0, self.boundmass)
+                body["inertia"] = np.full(3, max(0.0, self.boundinertia))
+                continue
+            com = sum(g["computed_mass"] * g["pos"] for g in gs) / total
+            imat = np.zeros((3, 3))
+            for g in gs:
+                rot = _quat_to_mat(g["quat"])
+                ig = rot @ np.diag(g["computed_inertia"]) @ rot.T
+                r = g["pos"] - com
+                imat += ig + g["computed_mass"] * (
+                    (r @ r) * np.eye(3) - np.outer(r, r))
+            vals, vecs = _principal(imat)
+            body["mass"] = total
+            body["ipos"] = com
+            body["inertia"] = np.maximum(vals, self.boundinertia)
+            body["iquat"] = _mat_to_quat(vecs)
+
+        # settotalmass rescaling (mjCModel::SetTotalmass)
+        if self.settotalmass > 0:
+            total = sum(b["mass"] for b in self.bodies[1:])
+            if total > 0:
+                scale = self.settotalmass / total
+                for b in self.bodies[1:]:
+                    b["mass"] *= scale
+                    b["inertia"] = b["inertia"] * scale
+
+        # dof layout
+        qadr = 0
+        dadr = 0
+        for j in self.joints:
+            j["qposadr"] = qadr
+            j["dofadr"] = dadr
+            qadr += j["type"].qpos_width
+            dadr += j["type"].dof_width
+        self.nq = qadr
+        self.nv = dadr
+
+        # per-body dof bookkeeping + dof records
+        last_dof_of_body: Dict[int, int] = {}
+        for j in self.joints:
+            b = j["bodyid"]
+            body = self.bodies[b]
+            if body["dofadr"] < 0:
+                body["dofadr"] = j["dofadr"]
+            body["dofnum"] += j["type"].dof_width
+            for k in range(j["type"].dof_width):
+                dofid = j["dofadr"] + k
+                if k > 0:
+                    parentdof = dofid - 1
+                elif b in last_dof_of_body:
+                    parentdof = last_dof_of_body[b]
+                else:
+                    # nearest ancestor body with dofs
+                    pb = self.bodies[b]["parentid"]
+                    while pb != 0 and pb not in last_dof_of_body:
+                        pb = self.bodies[pb]["parentid"]
+                    parentdof = last_dof_of_body.get(pb, -1)
+                self.dofs.append(dict(
+                    bodyid=b, jntid=self.joints.index(j), parentid=parentdof,
+                    armature=j["armature"], damping=j["damping"],
+                    frictionloss=j["frictionloss"],
+                    solref_fri=j["solref_fri"], solimp_fri=j["solimp_fri"],
+                ))
+            last_dof_of_body[b] = j["dofadr"] + j["type"].dof_width - 1
+
+        # qpos0 / qpos_spring
+        qpos0 = np.zeros(self.nq)
+        qpos_spring = np.zeros(self.nq)
+        for j in self.joints:
+            a = j["qposadr"]
+            if j["type"] == JointType.FREE:
+                body = self.bodies[j["bodyid"]]
+                qpos0[a:a + 3] = body["world_pos"]
+                qpos0[a + 3:a + 7] = body["world_quat"]
+                qpos_spring[a:a + 7] = qpos0[a:a + 7]
+            elif j["type"] == JointType.BALL:
+                qpos0[a:a + 4] = [1, 0, 0, 0]
+                qpos_spring[a:a + 4] = [1, 0, 0, 0]
+            else:
+                qpos0[a] = j["ref"]
+                qpos_spring[a] = j["springref"]
+        self.qpos0 = qpos0
+        self.qpos_spring = qpos_spring
+
+    # -- tendons ------------------------------------------------------------
+
+    def _compile_tendons(self):
+        section = self.root.first("tendon")
+        if section is None:
+            return
+        for t in section.children:
+            attrs = self._resolve(t, None, t.tag)
+            adr = len(self.wraps)
+            if t.tag == "fixed":
+                for w in t.children:
+                    wattrs = self._resolve(w, None, "joint" if w.tag == "joint" else w.tag)
+                    if w.tag != "joint":
+                        raise ValueError("fixed tendon supports <joint> only")
+                    self.wraps.append(dict(
+                        type=WrapType.JOINT,
+                        objname=w.get("joint"),
+                        prm=_float(wattrs.get("coef"), 0.0),
+                    ))
+            elif t.tag == "spatial":
+                for w in t.children:
+                    if w.tag == "site":
+                        self.wraps.append(dict(
+                            type=WrapType.SITE, objname=w.get("site"), prm=0.0))
+                    elif w.tag == "geom":
+                        raise NotImplementedError(
+                            "spatial tendon geom wrapping not yet supported")
+                    else:
+                        raise ValueError(f"bad spatial tendon child <{w.tag}>")
+            else:
+                raise ValueError(f"unknown tendon type <{t.tag}>")
+            rng = _floats(attrs.get("range"), 2)
+            has_range = rng is not None and not np.all(rng == 0)
+            limited = _bool(attrs.get("limited"),
+                            has_range if self.autolimits else False)
+            self.tendons.append(dict(
+                name=attrs.get("name", f"tendon{len(self.tendons)}"),
+                adr=adr, num=len(self.wraps) - adr,
+                limited=bool(limited),
+                range=rng if rng is not None else np.zeros(2),
+                margin=_float(attrs.get("margin"), 0.0),
+                stiffness=_float(attrs.get("stiffness"), 0.0),
+                damping=_float(attrs.get("damping"), 0.0),
+                springlength=_floats(attrs.get("springlength"), 2, pad=-1.0)
+                if attrs.get("springlength") is not None else np.array([-1.0, -1.0]),
+                solref=_floats(attrs.get("solreflimit"), 2) if attrs.get("solreflimit") is not None else np.array([0.02, 1.0]),
+                solimp=_floats(attrs.get("solimplimit"), 5) if attrs.get("solimplimit") is not None else np.array([0.9, 0.95, 0.001, 0.5, 2.0]),
+            ))
+
+    # -- actuators ----------------------------------------------------------
+
+    def _compile_actuators(self):
+        section = self.root.first("actuator")
+        if section is None:
+            return
+        jnames = {j["name"]: i for i, j in enumerate(self.joints)}
+        tnames = {t["name"]: i for i, t in enumerate(self.tendons)}
+        snames = {s["name"]: i for i, s in enumerate(self.sites)}
+        for a in section.children:
+            attrs = self._resolve(a, None, a.tag)
+            shortcut = a.tag
+            gear = _floats(attrs.get("gear"), 6, pad=0.0)
+            if gear is None:
+                gear = np.array([1.0, 0, 0, 0, 0, 0])
+            dynprm = np.zeros(10); dynprm[0] = 1.0
+            gainprm = np.zeros(10); gainprm[0] = 1.0
+            biasprm = np.zeros(10)
+            dyntype, gaintype, biastype = DynType.NONE, GainType.FIXED, BiasType.NONE
+            if shortcut == "motor":
+                pass
+            elif shortcut == "position":
+                kp = _float(attrs.get("kp"), 1.0)
+                kv = _float(attrs.get("kv"), 0.0)
+                gainprm[0] = kp
+                biastype = BiasType.AFFINE
+                biasprm[1] = -kp
+                biasprm[2] = -kv
+            elif shortcut == "velocity":
+                kv = _float(attrs.get("kv"), 1.0)
+                gainprm[0] = kv
+                biastype = BiasType.AFFINE
+                biasprm[2] = -kv
+            elif shortcut == "general":
+                dyntype = DynType(_kw(attrs.get("dyntype"), {
+                    "none": 0, "integrator": 1, "filter": 2,
+                    "filterexact": 3, "muscle": 4}, 0))
+                gaintype = GainType(_kw(attrs.get("gaintype"), {
+                    "fixed": 0, "affine": 1, "muscle": 2}, 0))
+                biastype = BiasType(_kw(attrs.get("biastype"), {
+                    "none": 0, "affine": 1, "muscle": 2}, 0))
+                for prm, key in [(dynprm, "dynprm"), (gainprm, "gainprm"),
+                                 (biasprm, "biasprm")]:
+                    v = _floats(attrs.get(key))
+                    if v is not None:
+                        prm[:v.size] = v
+            else:
+                raise ValueError(f"unsupported actuator <{shortcut}>")
+
+            if attrs.get("joint") is not None:
+                trntype, trnid = TrnType.JOINT, jnames[attrs["joint"]]
+            elif attrs.get("tendon") is not None:
+                trntype, trnid = TrnType.TENDON, tnames[attrs["tendon"]]
+            elif attrs.get("site") is not None:
+                trntype, trnid = TrnType.SITE, snames[attrs["site"]]
+            else:
+                raise ValueError("actuator needs a transmission target")
+
+            ctrlrange = _floats(attrs.get("ctrlrange"), 2)
+            has_cr = ctrlrange is not None and not np.all(ctrlrange == 0)
+            ctrllimited = _bool(attrs.get("ctrllimited"),
+                                has_cr if self.autolimits else False)
+            forcerange = _floats(attrs.get("forcerange"), 2)
+            has_fr = forcerange is not None and not np.all(forcerange == 0)
+            forcelimited = _bool(attrs.get("forcelimited"),
+                                 has_fr if self.autolimits else False)
+            self.actuators.append(dict(
+                name=attrs.get("name", f"actuator{len(self.actuators)}"),
+                trntype=trntype, trnid=trnid, dyntype=dyntype,
+                gaintype=gaintype, biastype=biastype,
+                dynprm=dynprm, gainprm=gainprm, biasprm=biasprm,
+                gear=gear,
+                ctrllimited=bool(ctrllimited),
+                ctrlrange=ctrlrange if ctrlrange is not None else np.zeros(2),
+                forcelimited=bool(forcelimited),
+                forcerange=forcerange if forcerange is not None else np.zeros(2),
+            ))
+
+    # -- sensors ------------------------------------------------------------
+
+    _SENSOR_TABLE = {
+        # tag: (SensorType, objtype kw, dim)
+        "touch": (SensorType.TOUCH, "site", 1),
+        "accelerometer": (SensorType.ACCELEROMETER, "site", 3),
+        "velocimeter": (SensorType.VELOCIMETER, "site", 3),
+        "gyro": (SensorType.GYRO, "site", 3),
+        "force": (SensorType.FORCE, "site", 3),
+        "torque": (SensorType.TORQUE, "site", 3),
+        "magnetometer": (SensorType.MAGNETOMETER, "site", 3),
+        "rangefinder": (SensorType.RANGEFINDER, "site", 1),
+        "jointpos": (SensorType.JOINTPOS, "joint", 1),
+        "jointvel": (SensorType.JOINTVEL, "joint", 1),
+        "tendonpos": (SensorType.TENDONPOS, "tendon", 1),
+        "tendonvel": (SensorType.TENDONVEL, "tendon", 1),
+        "actuatorpos": (SensorType.ACTUATORPOS, "actuator", 1),
+        "actuatorvel": (SensorType.ACTUATORVEL, "actuator", 1),
+        "actuatorfrc": (SensorType.ACTUATORFRC, "actuator", 1),
+        "ballquat": (SensorType.BALLQUAT, "joint", 4),
+        "ballangvel": (SensorType.BALLANGVEL, "joint", 3),
+        "framepos": (SensorType.FRAMEPOS, "frame", 3),
+        "framequat": (SensorType.FRAMEQUAT, "frame", 4),
+        "framexaxis": (SensorType.FRAMEXAXIS, "frame", 3),
+        "frameyaxis": (SensorType.FRAMEYAXIS, "frame", 3),
+        "framezaxis": (SensorType.FRAMEZAXIS, "frame", 3),
+        "framelinvel": (SensorType.FRAMELINVEL, "frame", 3),
+        "frameangvel": (SensorType.FRAMEANGVEL, "frame", 3),
+        "framelinacc": (SensorType.FRAMELINACC, "frame", 3),
+        "frameangacc": (SensorType.FRAMEANGACC, "frame", 3),
+        "subtreecom": (SensorType.SUBTREECOM, "body", 3),
+        "subtreelinvel": (SensorType.SUBTREELINVEL, "body", 3),
+        "subtreeangmom": (SensorType.SUBTREEANGMOM, "body", 3),
+    }
+
+    def _compile_sensors(self):
+        section = self.root.first("sensor")
+        if section is None:
+            return
+        names = {
+            "site": {s["name"]: i for i, s in enumerate(self.sites)},
+            "joint": {j["name"]: i for i, j in enumerate(self.joints)},
+            "body": {b["name"]: i for i, b in enumerate(self.bodies)},
+            "geom": {g["name"]: i for i, g in enumerate(self.geoms)},
+            "tendon": {t["name"]: i for i, t in enumerate(self.tendons)},
+            "actuator": {a["name"]: i for i, a in enumerate(self.actuators)},
+        }
+        objtype_enum = {"site": ObjType.SITE, "joint": ObjType.JOINT,
+                        "body": ObjType.BODY, "xbody": ObjType.XBODY,
+                        "geom": ObjType.GEOM, "tendon": ObjType.JOINT,
+                        "actuator": ObjType.JOINT, "camera": ObjType.CAMERA}
+        adr = 0
+        for s in section.children:
+            if s.tag not in self._SENSOR_TABLE:
+                raise ValueError(f"unsupported sensor <{s.tag}>")
+            stype, objkind, dim = self._SENSOR_TABLE[s.tag]
+            if objkind == "frame":
+                objkind = s.get("objtype", "body")
+                objname = s.get("objname")
+            else:
+                objname = s.get(objkind)
+            lookup = "body" if objkind == "xbody" else objkind
+            objid = names[lookup][objname]
+            self.sensors.append(dict(
+                name=s.get("name", f"sensor{len(self.sensors)}"),
+                type=stype, objtype=objtype_enum[objkind], objid=objid,
+                adr=adr, dim=dim,
+                cutoff=_float(s.get("cutoff"), 0.0),
+            ))
+            adr += dim
+        self.nsensordata = adr
+
+    # -- equality / contact -------------------------------------------------
+
+    def _compile_equality(self):
+        section = self.root.first("equality")
+        if section is None:
+            return
+        bnames = {b["name"]: i for i, b in enumerate(self.bodies)}
+        jnames = {j["name"]: i for i, j in enumerate(self.joints)}
+        for e in section.children:
+            attrs = self._resolve(e, None, e.tag)
+            data = np.zeros(11)
+            if e.tag == "connect":
+                etype = EqType.CONNECT
+                obj1 = bnames[attrs["body1"]]
+                obj2 = bnames.get(attrs.get("body2", "world"), 0)
+                anchor = _floats(attrs.get("anchor"), 3)
+                data[:3] = anchor
+                # body2-local coordinates of the anchor at model config
+                b1w, b2w = self.bodies[obj1], self.bodies[obj2]
+                p_world = b1w["world_pos"] + _quat_rot(b1w["world_quat"],
+                                                       anchor)
+                q2c = np.array([1.0, -1, -1, -1]) * b2w["world_quat"]
+                data[3:6] = _quat_rot(q2c, p_world - b2w["world_pos"])
+            elif e.tag == "weld":
+                etype = EqType.WELD
+                obj1 = bnames[attrs["body1"]]
+                obj2 = bnames.get(attrs.get("body2", "world"), 0)
+                relpose = _floats(attrs.get("relpose"), 7)
+                if relpose is None:
+                    data[3:10] = [0, 0, 0, 1, 0, 0, 0]  # computed at init
+                    data[10] = 1.0  # torquescale
+                else:
+                    data[3:10] = relpose
+            elif e.tag == "joint":
+                etype = EqType.JOINT
+                obj1 = jnames[attrs["joint1"]]
+                obj2 = jnames.get(attrs.get("joint2", ""), -1) \
+                    if attrs.get("joint2") else -1
+                poly = _floats(attrs.get("polycoef"), 5)
+                if poly is None:
+                    poly = np.array([0.0, 1, 0, 0, 0])
+                data[:5] = poly
+            else:
+                raise ValueError(f"unsupported equality <{e.tag}>")
+            self.equalities.append(dict(
+                name=attrs.get("name", f"eq{len(self.equalities)}"),
+                type=etype, obj1id=obj1, obj2id=obj2,
+                active=_bool(attrs.get("active"), True),
+                solref=_floats(attrs.get("solref"), 2) if attrs.get("solref") is not None else np.array([0.02, 1.0]),
+                solimp=_floats(attrs.get("solimp"), 5) if attrs.get("solimp") is not None else np.array([0.9, 0.95, 0.001, 0.5, 2.0]),
+                data=data,
+            ))
+
+    def _compile_contact(self):
+        section = self.root.first("contact")
+        if section is None:
+            return
+        bnames = {b["name"]: i for i, b in enumerate(self.bodies)}
+        for e in section.children:
+            if e.tag == "exclude":
+                self.excludes.append((bnames[e.get("body1")],
+                                      bnames[e.get("body2")]))
+            elif e.tag == "pair":
+                raise NotImplementedError("<contact><pair> not yet supported")
+
+    # -- assembly -----------------------------------------------------------
+
+    def _collision_pairs(self):
+        """Static broadphase: candidate geom pairs after all static filters.
+
+        Mirrors mj_collision's filtering (same-body, weld, parent-child via
+        mjDSBL_FILTERPARENT, contype/conaffinity bitmasks, <exclude>).
+        """
+        nb = len(self.bodies)
+        parent = [b["parentid"] for b in self.bodies]
+        weld = [0] * nb
+        for i in range(1, nb):
+            weld[i] = i if self.bodies[i]["dofnum"] > 0 else weld[parent[i]]
+        filterparent = not (self.opt_disableflags & DisableBit.FILTERPARENT)
+        excl = {tuple(sorted(p)) for p in self.excludes}
+        pairs = []
+        ng = len(self.geoms)
+        for i in range(ng):
+            for k in range(i + 1, ng):
+                g1, g2 = self.geoms[i], self.geoms[k]
+                b1, b2 = g1["bodyid"], g2["bodyid"]
+                if b1 == b2:
+                    continue
+                w1, w2 = weld[b1], weld[b2]
+                if w1 == w2:
+                    continue
+                if filterparent and w1 != 0 and w2 != 0 and (
+                        weld[parent[w1]] == w2 or weld[parent[w2]] == w1):
+                    continue
+                if tuple(sorted((b1, b2))) in excl:
+                    continue
+                t1, t2 = int(g1["type"]), int(g2["type"])
+                if not ((g1["contype"] & g2["conaffinity"]) or
+                        (g2["contype"] & g1["conaffinity"])):
+                    continue
+                # order so the lower type id comes first (plane first, etc.)
+                if t1 <= t2:
+                    pairs.append((i, k))
+                else:
+                    pairs.append((k, i))
+        return tuple(pairs)
+
+    def _build_model(self) -> Model:
+        dtype = self.dtype
+        f = lambda x: jnp.asarray(np.asarray(x, dtype=np.float64), dtype=dtype)
+
+        bodies, joints, dofs, geoms, sites = (
+            self.bodies, self.joints, self.dofs, self.geoms, self.sites)
+        nb, nj, nvv, ng, ns = (len(bodies), len(joints), len(dofs),
+                               len(geoms), len(sites))
+
+        # rootid, subtreemass, tree levels
+        rootid = [0] * nb
+        for i in range(1, nb):
+            p = bodies[i]["parentid"]
+            rootid[i] = i if p == 0 else rootid[p]
+        subtreemass = [b["mass"] for b in bodies]
+        for i in range(nb - 1, 0, -1):
+            subtreemass[bodies[i]["parentid"]] += subtreemass[i]
+        depth = [0] * nb
+        for i in range(1, nb):
+            depth[i] = depth[bodies[i]["parentid"]] + 1
+        levels = []
+        for d in range(1, max(depth) + 1 if nb > 1 else 1):
+            lv = tuple(i for i in range(nb) if depth[i] == d)
+            if lv:
+                levels.append(lv)
+
+        weld = [0] * nb
+        for i in range(1, nb):
+            weld[i] = i if bodies[i]["dofnum"] > 0 else weld[bodies[i]["parentid"]]
+
+        # dof ancestor mask (i row, j col): j is ancestor-or-self of i
+        anc = np.zeros((nvv, nvv))
+        for i in range(nvv):
+            j = i
+            while j >= 0:
+                anc[i, j] = 1.0
+                j = dofs[j]["parentid"]
+
+        # geom rbound
+        rbound = []
+        for g in geoms:
+            t, s = g["type"], g["size"]
+            if t == GeomType.PLANE or t == GeomType.HFIELD:
+                rbound.append(0.0)
+            elif t == GeomType.SPHERE:
+                rbound.append(s[0])
+            elif t == GeomType.CAPSULE:
+                rbound.append(s[0] + s[1])
+            elif t == GeomType.CYLINDER:
+                rbound.append(math.sqrt(s[0] ** 2 + s[1] ** 2))
+            elif t == GeomType.BOX:
+                rbound.append(float(np.linalg.norm(s)))
+            elif t == GeomType.ELLIPSOID:
+                rbound.append(float(np.max(s)))
+            else:
+                rbound.append(float(np.max(s)))
+
+        names = NameMap(
+            body={b["name"]: i for i, b in enumerate(bodies)},
+            joint={j["name"]: i for i, j in enumerate(joints)},
+            geom={g["name"]: i for i, g in enumerate(geoms)},
+            site={s["name"]: i for i, s in enumerate(sites)},
+            actuator={a["name"]: i for i, a in enumerate(self.actuators)},
+            sensor={s["name"]: i for i, s in enumerate(self.sensors)},
+            tendon={t["name"]: i for i, t in enumerate(self.tendons)},
+            camera={c["name"]: i for i, c in enumerate(self.cams)},
+            equality={e["name"]: i for i, e in enumerate(self.equalities)},
+        )
+
+        opt = Option(
+            timestep=f(self.opt_timestep),
+            gravity=f(self.opt_gravity),
+            wind=f(self.opt_wind),
+            magnetic=f(self.opt_magnetic),
+            density=f(self.opt_density),
+            viscosity=f(self.opt_viscosity),
+            impratio=f(self.opt_impratio),
+            tolerance=f(self.opt_tolerance),
+            o_margin=f(self.opt_o_margin),
+            o_solref=f([0.02, 1.0]),
+            o_solimp=f([0.9, 0.95, 0.001, 0.5, 2.0]),
+            integrator=self.opt_integrator,
+            cone=self.opt_cone,
+            solver=self.opt_solver,
+            iterations=self.opt_iterations,
+            ls_iterations=self.opt_ls_iterations,
+            noslip_iterations=self.opt_noslip,
+            disableflags=self.opt_disableflags,
+        )
+
+        # statistics (subset of mj_setConst; meaninertia patched by set_const)
+        tot_mass = float(sum(b["mass"] for b in bodies))
+        stat_el = self.root.first("statistic") or Element("statistic")
+        stat = Statistic(
+            meaninertia=f(1.0),
+            meanmass=f(tot_mass / max(nb - 1, 1)),
+            meansize=f(_float(stat_el.get("meansize"), 0.1)),
+            extent=f(_float(stat_el.get("extent"), 1.0)),
+            center=f(_floats(stat_el.get("center"), 3)
+                     if stat_el.get("center") is not None else np.zeros(3)),
+        )
+
+        acts = self.actuators
+        na = sum(1 for a in acts if a["dyntype"] != DynType.NONE)
+        actadr = []
+        aadr = 0
+        for a in acts:
+            if a["dyntype"] != DynType.NONE:
+                actadr.append(aadr)
+                aadr += 1
+            else:
+                actadr.append(-1)
+
+        tendons, wraps = self.tendons, self.wraps
+        jnames = {j["name"]: i for i, j in enumerate(joints)}
+        snames = {s["name"]: i for i, s in enumerate(sites)}
+        wrap_objid = []
+        for w in wraps:
+            if w["type"] == WrapType.JOINT:
+                wrap_objid.append(jnames[w["objname"]])
+            else:
+                wrap_objid.append(snames[w["objname"]])
+
+        m = Model(
+            nq=self.nq, nv=self.nv, nu=len(acts), na=na, nbody=nb, njnt=nj,
+            ngeom=ng, nsite=ns, ntendon=len(tendons), nwrap=len(wraps),
+            nsensor=len(self.sensors),
+            nsensordata=getattr(self, "nsensordata", 0),
+            neq=len(self.equalities), ncam=len(self.cams),
+            opt=opt, stat=stat,
+            qpos0=f(self.qpos0), qpos_spring=f(self.qpos_spring),
+            body_parentid=tuple(b["parentid"] for b in bodies),
+            body_rootid=tuple(rootid),
+            body_weldid=tuple(weld),
+            body_jntadr=tuple(b["jntadr"] for b in bodies),
+            body_jntnum=tuple(b["jntnum"] for b in bodies),
+            body_dofadr=tuple(b["dofadr"] for b in bodies),
+            body_dofnum=tuple(b["dofnum"] for b in bodies),
+            body_geomadr=tuple(b["geomadr"] for b in bodies),
+            body_geomnum=tuple(b["geomnum"] for b in bodies),
+            body_pos=f([b["pos"] for b in bodies]),
+            body_quat=f([b["quat"] for b in bodies]),
+            body_ipos=f([b["ipos"] for b in bodies]),
+            body_iquat=f([b["iquat"] for b in bodies]),
+            body_mass=f([b["mass"] for b in bodies]),
+            body_subtreemass=f(subtreemass),
+            body_inertia=f([b["inertia"] for b in bodies]),
+            body_invweight0=f(np.zeros((nb, 2))),
+            jnt_type=tuple(int(j["type"]) for j in joints),
+            jnt_qposadr=tuple(j["qposadr"] for j in joints),
+            jnt_dofadr=tuple(j["dofadr"] for j in joints),
+            jnt_bodyid=tuple(j["bodyid"] for j in joints),
+            jnt_limited=tuple(int(j["limited"]) for j in joints),
+            jnt_axis=f([j["axis"] for j in joints]) if nj else f(np.zeros((0, 3))),
+            jnt_pos=f([j["pos"] for j in joints]) if nj else f(np.zeros((0, 3))),
+            jnt_range=f([j["range"] for j in joints]) if nj else f(np.zeros((0, 2))),
+            jnt_margin=f([j["margin"] for j in joints]) if nj else f(np.zeros(0)),
+            jnt_stiffness=f([j["stiffness"] for j in joints]) if nj else f(np.zeros(0)),
+            jnt_solref=f([j["solref"] for j in joints]) if nj else f(np.zeros((0, 2))),
+            jnt_solimp=f([j["solimp"] for j in joints]) if nj else f(np.zeros((0, 5))),
+            dof_bodyid=tuple(d["bodyid"] for d in dofs),
+            dof_jntid=tuple(d["jntid"] for d in dofs),
+            dof_parentid=tuple(d["parentid"] for d in dofs),
+            dof_armature=f([d["armature"] for d in dofs]) if nvv else f(np.zeros(0)),
+            dof_damping=f([d["damping"] for d in dofs]) if nvv else f(np.zeros(0)),
+            dof_frictionloss=f([d["frictionloss"] for d in dofs]) if nvv else f(np.zeros(0)),
+            dof_invweight0=f(np.zeros(nvv)),
+            dof_solref=f([d["solref_fri"] for d in dofs]) if nvv else f(np.zeros((0, 2))),
+            dof_solimp=f([d["solimp_fri"] for d in dofs]) if nvv else f(np.zeros((0, 5))),
+            geom_type=tuple(int(g["type"]) for g in geoms),
+            geom_contype=tuple(g["contype"] for g in geoms),
+            geom_conaffinity=tuple(g["conaffinity"] for g in geoms),
+            geom_condim=tuple(g["condim"] for g in geoms),
+            geom_bodyid=tuple(g["bodyid"] for g in geoms),
+            geom_priority=tuple(g["priority"] for g in geoms),
+            geom_size=f([g["size"] for g in geoms]) if ng else f(np.zeros((0, 3))),
+            geom_rbound=f(rbound) if ng else f(np.zeros(0)),
+            geom_pos=f([g["pos"] for g in geoms]) if ng else f(np.zeros((0, 3))),
+            geom_quat=f([g["quat"] for g in geoms]) if ng else f(np.zeros((0, 4))),
+            geom_friction=f([g["friction"] for g in geoms]) if ng else f(np.zeros((0, 3))),
+            geom_margin=f([g["margin"] for g in geoms]) if ng else f(np.zeros(0)),
+            geom_gap=f([g["gap"] for g in geoms]) if ng else f(np.zeros(0)),
+            geom_solmix=f([g["solmix"] for g in geoms]) if ng else f(np.zeros(0)),
+            geom_solref=f([g["solref"] for g in geoms]) if ng else f(np.zeros((0, 2))),
+            geom_solimp=f([g["solimp"] for g in geoms]) if ng else f(np.zeros((0, 5))),
+            geom_rgba=f([g["rgba"] for g in geoms]) if ng else f(np.zeros((0, 4))),
+            site_type=tuple(s["type"] for s in sites),
+            site_bodyid=tuple(s["bodyid"] for s in sites),
+            site_size=f([s["size"] for s in sites]) if ns else f(np.zeros((0, 3))),
+            site_pos=f([s["pos"] for s in sites]) if ns else f(np.zeros((0, 3))),
+            site_quat=f([s["quat"] for s in sites]) if ns else f(np.zeros((0, 4))),
+            tendon_adr=tuple(t["adr"] for t in tendons),
+            tendon_num=tuple(t["num"] for t in tendons),
+            tendon_limited=tuple(int(t["limited"]) for t in tendons),
+            tendon_range=f([t["range"] for t in tendons]) if tendons else f(np.zeros((0, 2))),
+            tendon_margin=f([t["margin"] for t in tendons]) if tendons else f(np.zeros(0)),
+            tendon_stiffness=f([t["stiffness"] for t in tendons]) if tendons else f(np.zeros(0)),
+            tendon_damping=f([t["damping"] for t in tendons]) if tendons else f(np.zeros(0)),
+            tendon_lengthspring=f([t["springlength"] for t in tendons]) if tendons else f(np.zeros((0, 2))),
+            tendon_solref_lim=f([t["solref"] for t in tendons]) if tendons else f(np.zeros((0, 2))),
+            tendon_solimp_lim=f([t["solimp"] for t in tendons]) if tendons else f(np.zeros((0, 5))),
+            wrap_type=tuple(int(w["type"]) for w in wraps),
+            wrap_objid=tuple(wrap_objid),
+            wrap_prm=f([w["prm"] for w in wraps]) if wraps else f(np.zeros(0)),
+            actuator_trntype=tuple(int(a["trntype"]) for a in acts),
+            actuator_dyntype=tuple(int(a["dyntype"]) for a in acts),
+            actuator_gaintype=tuple(int(a["gaintype"]) for a in acts),
+            actuator_biastype=tuple(int(a["biastype"]) for a in acts),
+            actuator_trnid=tuple((a["trnid"], -1) for a in acts),
+            actuator_actadr=tuple(actadr),
+            actuator_actnum=tuple(1 if a["dyntype"] != DynType.NONE else 0
+                                  for a in acts),
+            actuator_ctrllimited=tuple(int(a["ctrllimited"]) for a in acts),
+            actuator_forcelimited=tuple(int(a["forcelimited"]) for a in acts),
+            actuator_dynprm=f([a["dynprm"] for a in acts]) if acts else f(np.zeros((0, 10))),
+            actuator_gainprm=f([a["gainprm"] for a in acts]) if acts else f(np.zeros((0, 10))),
+            actuator_biasprm=f([a["biasprm"] for a in acts]) if acts else f(np.zeros((0, 10))),
+            actuator_ctrlrange=f([a["ctrlrange"] for a in acts]) if acts else f(np.zeros((0, 2))),
+            actuator_forcerange=f([a["forcerange"] for a in acts]) if acts else f(np.zeros((0, 2))),
+            actuator_gear=f([a["gear"] for a in acts]) if acts else f(np.zeros((0, 6))),
+            sensor_type=tuple(int(s["type"]) for s in self.sensors),
+            sensor_objtype=tuple(int(s["objtype"]) for s in self.sensors),
+            sensor_objid=tuple(s["objid"] for s in self.sensors),
+            sensor_adr=tuple(s["adr"] for s in self.sensors),
+            sensor_dim=tuple(s["dim"] for s in self.sensors),
+            sensor_cutoff=f([s["cutoff"] for s in self.sensors])
+            if self.sensors else f(np.zeros(0)),
+            eq_type=tuple(int(e["type"]) for e in self.equalities),
+            eq_obj1id=tuple(e["obj1id"] for e in self.equalities),
+            eq_obj2id=tuple(e["obj2id"] for e in self.equalities),
+            eq_active0=tuple(int(e["active"]) for e in self.equalities),
+            eq_solref=f([e["solref"] for e in self.equalities])
+            if self.equalities else f(np.zeros((0, 2))),
+            eq_solimp=f([e["solimp"] for e in self.equalities])
+            if self.equalities else f(np.zeros((0, 5))),
+            eq_data=f([e["data"] for e in self.equalities])
+            if self.equalities else f(np.zeros((0, 11))),
+            body_tree_levels=tuple(levels),
+            collision_pairs=self._collision_pairs(),
+            dof_ancestor_mask=f(anc),
+            names=names,
+        )
+        return m
+
+
+# ---------------------------------------------------------------------------
+# numpy quaternion / inertia helpers (host-side, float64).
+# ---------------------------------------------------------------------------
+
+
+def _quat_mul(u, v):
+    w1, x1, y1, z1 = u
+    w2, x2, y2, z2 = v
+    return np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ])
+
+
+def _quat_rot(q, v):
+    w, u = q[0], q[1:]
+    c = np.cross(u, v)
+    return v + 2 * (w * c + np.cross(u, c))
+
+
+def _axis_angle_quat(axis, angle):
+    return np.concatenate([[math.cos(angle / 2)],
+                           np.asarray(axis) * math.sin(angle / 2)])
+
+
+def _euler_to_quat(euler, seq):
+    q = np.array([1.0, 0, 0, 0])
+    basis = {"x": np.array([1.0, 0, 0]), "y": np.array([0, 1.0, 0]),
+             "z": np.array([0, 0, 1.0])}
+    for i, ax in enumerate(seq):
+        rot = _axis_angle_quat(basis[ax.lower()], float(euler[i]))
+        q = _quat_mul(rot, q) if ax.islower() else _quat_mul(q, rot)
+    return q / np.linalg.norm(q)
+
+
+def _quat_to_mat(q):
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _mat_to_quat(m):
+    tr = np.trace(m)
+    if tr > 0:
+        s = math.sqrt(tr + 1.0) * 2
+        q = np.array([0.25 * s, (m[2, 1] - m[1, 2]) / s,
+                      (m[0, 2] - m[2, 0]) / s, (m[1, 0] - m[0, 1]) / s])
+    elif m[0, 0] > m[1, 1] and m[0, 0] > m[2, 2]:
+        s = math.sqrt(1.0 + m[0, 0] - m[1, 1] - m[2, 2]) * 2
+        q = np.array([(m[2, 1] - m[1, 2]) / s, 0.25 * s,
+                      (m[0, 1] + m[1, 0]) / s, (m[0, 2] + m[2, 0]) / s])
+    elif m[1, 1] > m[2, 2]:
+        s = math.sqrt(1.0 + m[1, 1] - m[0, 0] - m[2, 2]) * 2
+        q = np.array([(m[0, 2] - m[2, 0]) / s, (m[0, 1] + m[1, 0]) / s,
+                      0.25 * s, (m[1, 2] + m[2, 1]) / s])
+    else:
+        s = math.sqrt(1.0 + m[2, 2] - m[0, 0] - m[1, 1]) * 2
+        q = np.array([(m[1, 0] - m[0, 1]) / s, (m[0, 2] + m[2, 0]) / s,
+                      (m[1, 2] + m[2, 1]) / s, 0.25 * s])
+    if q[0] < 0:
+        q = -q
+    return q / np.linalg.norm(q)
+
+
+def _z_to_quat(z):
+    """Minimal rotation mapping (0,0,1) to direction z."""
+    z = np.asarray(z, dtype=np.float64)
+    n = np.linalg.norm(z)
+    if n < _MINVAL:
+        return np.array([1.0, 0, 0, 0])
+    z = z / n
+    axis = np.cross([0.0, 0, 1.0], z)
+    s = np.linalg.norm(axis)
+    if s < _MINVAL:
+        if z[2] > 0:
+            return np.array([1.0, 0, 0, 0])
+        return np.array([0.0, 1.0, 0, 0])  # 180° about x
+    axis = axis / s
+    angle = math.atan2(s, z[2])
+    return _axis_angle_quat(axis, angle)
+
+
+def _principal(imat):
+    """Symmetric inertia matrix → (eigenvalues desc, eigenvectors cols)."""
+    vals, vecs = np.linalg.eigh(imat)
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    if np.linalg.det(vecs) < 0:
+        vecs[:, 2] = -vecs[:, 2]
+    return vals, vecs
+
+
+def _geom_volume_inertia(gtype: GeomType, size):
+    """Returns (volume, unit-mass diagonal inertia in geom frame)."""
+    if gtype == GeomType.SPHERE:
+        r = size[0]
+        vol = 4.0 / 3.0 * math.pi * r ** 3
+        i = 2.0 / 5.0 * r * r
+        return vol, np.array([i, i, i])
+    if gtype == GeomType.CAPSULE:
+        r, h = size[0], size[1]
+        vs = 4.0 / 3.0 * math.pi * r ** 3
+        vc = math.pi * r * r * 2 * h
+        vol = vs + vc
+        ws, wc = vs / vol, vc / vol  # mass fractions at equal density
+        axial = ws * 0.4 * r * r + wc * 0.5 * r * r
+        trans = (ws * (0.4 * r * r + h * h + 0.75 * r * h)
+                 + wc * (r * r / 4.0 + h * h / 3.0))
+        return vol, np.array([trans, trans, axial])
+    if gtype == GeomType.CYLINDER:
+        r, h = size[0], size[1]
+        vol = math.pi * r * r * 2 * h
+        axial = 0.5 * r * r
+        trans = (3 * r * r + 4 * h * h) / 12.0
+        return vol, np.array([trans, trans, axial])
+    if gtype == GeomType.BOX:
+        a, b, c = size
+        vol = 8 * a * b * c
+        return vol, np.array([(b * b + c * c) / 3.0, (a * a + c * c) / 3.0,
+                              (a * a + b * b) / 3.0])
+    if gtype == GeomType.ELLIPSOID:
+        a, b, c = size
+        vol = 4.0 / 3.0 * math.pi * a * b * c
+        return vol, np.array([(b * b + c * c) / 5.0, (a * a + c * c) / 5.0,
+                              (a * a + b * b) / 5.0])
+    # plane / hfield / mesh: no implicit mass
+    return 0.0, np.zeros(3)
+
+
+def compile_model(root: Element, dtype=None) -> Model:
+    """Compiles an MJCF element tree into a Model pytree.
+
+    The returned model still needs derived constants (dof_invweight0,
+    meaninertia); ``physics.engine.set_const`` computes them and is invoked
+    here if the engine is importable.
+    """
+    import contextlib
+
+    import jax
+
+    dtype = dtype or jnp.zeros(0).dtype  # honors jax_enable_x64
+    # Model compilation is host-side work: pin it to CPU so eager ops don't
+    # round-trip to an accelerator.
+    try:
+        ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        m = _Compiler(root, dtype).compile()
+        from dm_control_tpu.physics import engine  # lazy: engine imports model
+
+        return engine.set_const(m)

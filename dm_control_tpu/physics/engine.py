@@ -1,0 +1,265 @@
+"""Forward dynamics pipeline and integrators: the mj_forward/mj_step core.
+
+The reference drives these stages through native mj_step1/mj_step2
+(dm_control/mujoco/engine.py:149-166, Euler split so mjData stays in sync).
+Here the pipeline is a pure function ``step: (Model, Data) -> Data`` —
+batched with ``jax.vmap``, compiled once per model under ``jit`` (models are
+closed over so their structure constant-folds into the XLA program).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dm_control_tpu.physics import actuation as act_mod
+from dm_control_tpu.physics import collision as coll
+from dm_control_tpu.physics import constraints as cons
+from dm_control_tpu.physics import dynamics as dyn
+from dm_control_tpu.physics import inertia as inr
+from dm_control_tpu.physics import kinematics as kin
+from dm_control_tpu.physics import mathx as mx
+from dm_control_tpu.physics import sensors as sens
+from dm_control_tpu.physics import solver as slv
+from dm_control_tpu.physics.model import (
+    Data, DisableBit, IntegratorType, JointType, Model, make_data,
+)
+
+# Divergence threshold (mjMAXVAL analogue).
+MAXVAL = 1e10
+
+
+# ---------------------------------------------------------------------------
+# Pipeline stages.
+# ---------------------------------------------------------------------------
+
+
+def fwd_position(m: Model, d: Data) -> Data:
+    d = kin.kinematics(m, d)
+    d = kin.com_pos(m, d)
+    d = kin.tendon(m, d)
+    d = inr.crb(m, d)
+    d = inr.factor_m(m, d)
+    d = coll.collision(m, d)
+    d = act_mod.transmission(m, d)
+    return d
+
+
+def fwd_velocity(m: Model, d: Data) -> Data:
+    d = act_mod.actuator_velocity(m, d)
+    if m.ntendon:
+        d = d.replace(ten_velocity=d.ten_moment @ d.qvel)
+    d = kin.com_vel(m, d)
+    d = dyn.rne(m, d)
+    d = dyn.passive(m, d)
+    return d
+
+
+def fwd_actuation(m: Model, d: Data) -> Data:
+    return act_mod.fwd_actuation(m, d)
+
+
+def fwd_acceleration(m: Model, d: Data) -> Data:
+    qfrc_smooth = (d.qfrc_passive - d.qfrc_bias + d.qfrc_applied
+                   + d.qfrc_actuator)
+    if _any_nonzero_possible(d.xfrc_applied):
+        qfrc_smooth = qfrc_smooth + dyn.xfrc_accumulate(m, d)
+    qacc_smooth = inr.solve_m(m, d, qfrc_smooth)
+    return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
+
+
+def _any_nonzero_possible(x) -> bool:
+    """True unless ``x`` is a concrete all-zero array (trace-time check)."""
+    try:
+        return bool(np.any(np.asarray(x)))
+    except Exception:
+        return True
+
+
+def fwd_constraint(m: Model, d: Data) -> Data:
+    efc = cons.make_constraint(m, d)
+    if efc.nefc == 0:
+        return d.replace(qacc=d.qacc_smooth,
+                         qfrc_constraint=jnp.zeros_like(d.qfrc_smooth))
+    return slv.solve(m, d, efc)
+
+
+def forward(m: Model, d: Data) -> Data:
+    """mj_forward: full forward dynamics at the current state."""
+    d = fwd_position(m, d)
+    d = sens.sensor_pos(m, d)
+    d = fwd_velocity(m, d)
+    d = sens.sensor_vel(m, d)
+    d = fwd_actuation(m, d)
+    d = fwd_acceleration(m, d)
+    d = fwd_constraint(m, d)
+    d = sens.sensor_acc(m, d)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Integration.
+# ---------------------------------------------------------------------------
+
+
+def integrate_pos(m: Model, qpos, qvel, dt):
+    """mj_integratePos: advances qpos by qvel*dt, quaternions on the manifold."""
+    out = []
+    for jid in range(m.njnt):
+        jtype = JointType(m.jnt_type[jid])
+        qadr, dadr = m.jnt_qposadr[jid], m.jnt_dofadr[jid]
+        if jtype == JointType.FREE:
+            out.append(qpos[qadr:qadr + 3] + dt * qvel[dadr:dadr + 3])
+            out.append(mx.quat_integrate(
+                qpos[qadr + 3:qadr + 7], qvel[dadr + 3:dadr + 6], dt))
+        elif jtype == JointType.BALL:
+            out.append(mx.quat_integrate(
+                qpos[qadr:qadr + 4], qvel[dadr:dadr + 3], dt))
+        else:
+            out.append(qpos[qadr:qadr + 1] + dt * qvel[dadr:dadr + 1])
+    if not out:
+        return qpos
+    return jnp.concatenate(out)
+
+
+def _advance(m: Model, d: Data, qacc, act_dot, qvel_for_pos=None) -> Data:
+    """Shared integration epilogue (mj_advance)."""
+    dt = m.opt.timestep
+    qvel = d.qvel + dt * qacc
+    act = d.act + dt * act_dot if m.na else d.act
+    qpos = integrate_pos(m, d.qpos,
+                         qvel if qvel_for_pos is None else qvel_for_pos, dt)
+    return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + dt)
+
+
+def euler(m: Model, d: Data) -> Data:
+    """mj_Euler: semi-implicit, implicit in joint damping.
+
+    v' = v + h (M + h diag(B))^{-1} (qfrc_smooth + qfrc_constraint); the
+    damping force -B v is already inside qfrc_smooth via qfrc_passive.
+    """
+    damping = np.asarray(m.dof_damping) if not isinstance(
+        m.dof_damping, jax.core.Tracer) else None
+    has_damping = damping is None or bool(np.any(damping))
+    if not has_damping:
+        return _advance(m, d, d.qacc, d.act_dot)
+    dt = m.opt.timestep
+    mh = d.qM + dt * jnp.diag(m.dof_damping)
+    qfrc = d.qfrc_smooth + d.qfrc_constraint
+    lh = jnp.linalg.cholesky(mh)
+    y = jax.scipy.linalg.solve_triangular(lh, qfrc, lower=True)
+    qacc = jax.scipy.linalg.solve_triangular(lh.T, y, lower=False)
+    return _advance(m, d, qacc, d.act_dot)
+
+
+_RK4_A = ((0.5, 0.0, 0.0), (0.0, 0.5, 0.0), (0.0, 0.0, 1.0))
+_RK4_B = (1.0 / 6, 1.0 / 3, 1.0 / 3, 1.0 / 6)
+
+
+def rungekutta4(m: Model, d: Data) -> Data:
+    """mj_RungeKutta with the classic 4th-order tableau."""
+    h = m.opt.timestep
+    d0 = d
+    qvels = [d.qvel]
+    qaccs = [d.qacc]
+    act_dots = [d.act_dot]
+    acts = [d.act]
+    for i in range(3):
+        arow = _RK4_A[i]
+        dqvel = sum(a * qa for a, qa in zip(arow, qaccs) if a)
+        dqact = sum(a * ad for a, ad in zip(arow, act_dots) if a) \
+            if m.na else 0.0
+        vel_i = d0.qvel + h * dqvel
+        dvel_pos = sum(a * qv for a, qv in zip(arow, qvels) if a)
+        qpos_i = integrate_pos(m, d0.qpos, dvel_pos, h)
+        act_i = d0.act + h * dqact if m.na else d0.act
+        di = d0.replace(qpos=qpos_i, qvel=vel_i, act=act_i)
+        di = forward(m, di)
+        qvels.append(di.qvel)
+        qaccs.append(di.qacc)
+        act_dots.append(di.act_dot)
+        acts.append(di.act)
+    dvel = sum(b * qv for b, qv in zip(_RK4_B, qvels))
+    dacc = sum(b * qa for b, qa in zip(_RK4_B, qaccs))
+    qpos = integrate_pos(m, d0.qpos, dvel, h)
+    qvel = d0.qvel + h * dacc
+    if m.na:
+        dact = sum(b * ad for b, ad in zip(_RK4_B, act_dots))
+        act = d0.act + h * dact
+    else:
+        act = d0.act
+    return d0.replace(qpos=qpos, qvel=qvel, act=act, time=d0.time + h)
+
+
+def step(m: Model, d: Data) -> Data:
+    """mj_step: forward dynamics + integration."""
+    d = forward(m, d)
+    d = d.replace(qacc_warmstart=d.qacc)
+    if m.opt.integrator == int(IntegratorType.RK4):
+        return rungekutta4(m, d)
+    return euler(m, d)
+
+
+def check_divergence(m: Model, d: Data):
+    """Per-env divergence flag (replaces the warning-counter diff at
+    dm_control/mujoco/engine.py:307-330 — cannot raise inside a batch)."""
+    bad = jnp.logical_or(
+        jnp.any(~jnp.isfinite(d.qpos)) | jnp.any(~jnp.isfinite(d.qvel)),
+        jnp.any(jnp.abs(d.qpos) > MAXVAL) | jnp.any(jnp.abs(d.qvel) > MAXVAL))
+    return bad
+
+
+# ---------------------------------------------------------------------------
+# Derived constants (mj_setConst).
+# ---------------------------------------------------------------------------
+
+
+def set_const(m: Model) -> Model:
+    """Computes qpos0-derived constants: invweights, meaninertia, tendon
+    reference lengths.  Host-side, runs once at compile."""
+    dtype = m.qpos0.dtype
+    d = make_data(m, dtype)
+    d = kin.kinematics(m, d)
+    d = kin.com_pos(m, d)
+    d = kin.tendon(m, d)
+    d = inr.crb(m, d)
+    d = inr.factor_m(m, d)
+
+    if m.nv:
+        minv = inr.solve_m(m, d, jnp.eye(m.nv, dtype=dtype))
+        dof_invweight0 = jnp.diag(minv)
+        meaninertia = jnp.trace(d.qM) / m.nv
+    else:
+        dof_invweight0 = m.dof_invweight0
+        meaninertia = jnp.asarray(1.0, dtype)
+
+    biw = []
+    for b in range(m.nbody):
+        if m.nv == 0 or b == 0:
+            biw.append(jnp.zeros(2, dtype))
+            continue
+        jacp, jacr = kin.jac(m, d, d.xipos[b], b)
+        jt = jacp @ minv @ jacp.T
+        jr = jacr @ minv @ jacr.T
+        biw.append(jnp.stack([jnp.trace(jt) / 3.0, jnp.trace(jr) / 3.0]))
+    body_invweight0 = jnp.stack(biw)
+
+    if m.ntendon:
+        ten_iw = jnp.einsum("tv,vw,tw->t", d.ten_moment, minv, d.ten_moment)
+        length0 = d.ten_length
+        # resolve springlength < 0 → rest length at qpos0
+        ls = m.tendon_lengthspring
+        ls = jnp.where(ls < 0, length0[:, None], ls)
+        m = m.replace(tendon_length0=length0, tendon_invweight0=ten_iw,
+                      tendon_lengthspring=ls)
+    else:
+        z = jnp.zeros(0, dtype)
+        m = m.replace(tendon_length0=z, tendon_invweight0=z)
+
+    return m.replace(
+        dof_invweight0=dof_invweight0,
+        body_invweight0=body_invweight0,
+        stat=m.stat.replace(meaninertia=meaninertia),
+    )

@@ -1,0 +1,62 @@
+"""Composite-rigid-body inertia: dense joint-space mass matrix + factorization.
+
+Replaces MuJoCo's sparse CRB/LDL machinery (mj_crb/mj_factorM, reached via
+dm_control's physics.step) with a dense formulation: for the small nv of
+control-suite models (<= 64), a dense (nv, nv) matrix batched over
+thousands of environments maps straight onto the TPU MXU, and Cholesky
+solves are batched triangular solves.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dm_control_tpu.physics import mathx as mx
+from dm_control_tpu.physics.model import Data, Model
+
+
+def crb(m: Model, d: Data) -> Data:
+    """mj_crb: composite rigid-body inertias and the dense mass matrix.
+
+    M[i, j] = cdof_j · (I^c_{body(i)} cdof_i) for j an ancestor-or-self of i,
+    where I^c is the composite (subtree) spatial inertia.  Computed densely
+    as an (nv,6)x(6,nv) product masked by the static ancestor relation.
+    """
+    # composite inertia: backward accumulation over the tree
+    acc = [d.cinert[i] for i in range(m.nbody)]
+    for level in reversed(m.body_tree_levels):
+        for i in level:
+            p = m.body_parentid[i]
+            acc[p] = acc[p] + acc[i]
+    crb_inert = jnp.stack(acc)  # (nbody, 10)
+
+    if m.nv == 0:
+        return d.replace(qM=jnp.zeros((0, 0), d.qpos.dtype))
+
+    dofbody = jnp.array(m.dof_bodyid, jnp.int32)
+    # F_i = I^c_{body(i)} * cdof_i  -> (nv, 6)
+    f = mx.inert_mul(crb_inert[dofbody], d.cdof)
+    m_full = f @ d.cdof.T  # (nv, nv); valid where col is ancestor of row
+    lower = m_full * m.dof_ancestor_mask  # keep (i, ancestor j<=i) entries
+    qm = lower + lower.T - jnp.diag(jnp.diag(lower))
+    qm = qm + jnp.diag(m.dof_armature)
+    return d.replace(qM=qm)
+
+
+def factor_m(m: Model, d: Data) -> Data:
+    """Cholesky factorization of qM (mj_factorM analogue, dense)."""
+    if m.nv == 0:
+        return d.replace(qLD=d.qM)
+    return d.replace(qLD=jnp.linalg.cholesky(d.qM))
+
+
+def solve_m(m: Model, d: Data, rhs: jax.Array) -> jax.Array:
+    """Solves qM x = rhs using the cached Cholesky factor (mj_solveM)."""
+    y = jax.scipy.linalg.solve_triangular(d.qLD, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(d.qLD.T, y, lower=False)
+
+
+def mul_m(m: Model, d: Data, vec: jax.Array) -> jax.Array:
+    """qM @ vec (mj_mulM)."""
+    return d.qM @ vec

@@ -1,0 +1,264 @@
+"""Forward kinematics and related position-stage quantities.
+
+Implements the position stage of the pipeline that the reference reaches
+through mj_step1/mj_forward (called at dm_control/mujoco/engine.py:161-166):
+body/geom/site frames, subtree centers of mass, CoM-centered motion
+subspaces (cdof), point jacobians, and tendon lengths/moments.
+
+The body tree structure is static, so all loops below unroll at trace time
+into batched array ops; the batch (env) dimension supplies the
+vectorization.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dm_control_tpu.physics import mathx as mx
+from dm_control_tpu.physics.model import Data, JointType, Model, WrapType
+
+
+def kinematics(m: Model, d: Data) -> Data:
+    """mj_kinematics: computes xpos/xquat/xmat, geom/site frames."""
+    qpos = d.qpos
+    dtype = qpos.dtype
+    xpos = [jnp.zeros(3, dtype)]
+    xquat = [jnp.array([1.0, 0, 0, 0], dtype)]
+    xanchor = [None] * m.njnt
+    xaxis = [None] * m.njnt
+
+    for i in range(1, m.nbody):
+        p = m.body_parentid[i]
+        pos = xpos[p] + mx.rotate(m.body_pos[i], xquat[p])
+        quat = mx.quat_mul(xquat[p], m.body_quat[i])
+        jadr, jnum = m.body_jntadr[i], m.body_jntnum[i]
+        for jid in range(jadr, jadr + jnum):
+            jtype = JointType(m.jnt_type[jid])
+            qadr = m.jnt_qposadr[jid]
+            if jtype == JointType.FREE:
+                pos = qpos[qadr:qadr + 3]
+                quat = mx.quat_normalize(qpos[qadr + 3:qadr + 7])
+                xanchor[jid] = pos
+                xaxis[jid] = mx.rotate(m.jnt_axis[jid], quat)
+            elif jtype == JointType.BALL:
+                anchor = pos + mx.rotate(m.jnt_pos[jid], quat)
+                qloc = mx.quat_normalize(qpos[qadr:qadr + 4])
+                quat = mx.quat_mul(quat, qloc)
+                pos = anchor - mx.rotate(m.jnt_pos[jid], quat)
+                xanchor[jid] = anchor
+                xaxis[jid] = mx.rotate(m.jnt_axis[jid], quat)
+            elif jtype == JointType.SLIDE:
+                axis = mx.rotate(m.jnt_axis[jid], quat)
+                pos = pos + axis * (qpos[qadr] - m.qpos0[qadr])
+                xanchor[jid] = pos + mx.rotate(m.jnt_pos[jid], quat)
+                xaxis[jid] = axis
+            else:  # HINGE
+                anchor = pos + mx.rotate(m.jnt_pos[jid], quat)
+                angle = qpos[qadr] - m.qpos0[qadr]
+                qrot = mx.axis_angle_to_quat(m.jnt_axis[jid], angle)
+                quat = mx.quat_mul(quat, qrot)
+                pos = anchor - mx.rotate(m.jnt_pos[jid], quat)
+                xanchor[jid] = anchor
+                xaxis[jid] = mx.rotate(m.jnt_axis[jid], quat)
+        xpos.append(pos)
+        xquat.append(quat)
+
+    xpos = jnp.stack(xpos)
+    xquat = jnp.stack(xquat)
+    xmat = mx.quat_to_mat(xquat)
+
+    xipos = xpos + jnp.einsum("bij,bj->bi", xmat, m.body_ipos)
+    ximat = xmat @ mx.quat_to_mat(m.body_iquat)
+
+    gb = jnp.array(m.geom_bodyid, jnp.int32)
+    geom_xpos = xpos[gb] + jnp.einsum("gij,gj->gi", xmat[gb], m.geom_pos)
+    geom_xmat = xmat[gb] @ mx.quat_to_mat(m.geom_quat)
+
+    sb = jnp.array(m.site_bodyid, jnp.int32)
+    site_xpos = xpos[sb] + jnp.einsum("sij,sj->si", xmat[sb], m.site_pos)
+    site_xmat = xmat[sb] @ mx.quat_to_mat(m.site_quat)
+
+    return d.replace(
+        xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos, ximat=ximat,
+        geom_xpos=geom_xpos, geom_xmat=geom_xmat,
+        site_xpos=site_xpos, site_xmat=site_xmat,
+        jnt_xanchor=(jnp.stack(xanchor) if m.njnt
+                     else jnp.zeros((0, 3), qpos.dtype)),
+        jnt_xaxis=(jnp.stack(xaxis) if m.njnt
+                   else jnp.zeros((0, 3), qpos.dtype)),
+    )
+
+
+def com_pos(m: Model, d: Data) -> Data:
+    """mj_comPos: subtree CoM, CoM-centered body inertias and dof subspaces."""
+    dtype = d.qpos.dtype
+    # subtree com: backward accumulation of mass-weighted ipos
+    mass = m.body_mass[:, None]
+    weighted = [mass[i] * d.xipos[i] for i in range(m.nbody)]
+    acc = list(weighted)
+    for levels in reversed(m.body_tree_levels):
+        for i in levels:
+            p = m.body_parentid[i]
+            acc[p] = acc[p] + acc[i]
+    subtree_com = jnp.stack(acc) / jnp.maximum(
+        m.body_subtreemass[:, None], 1e-15)
+
+    # cinert: body spatial inertia about the root subtree com, world axes
+    rootx = subtree_com[jnp.array(m.body_rootid, jnp.int32)]
+    offset = d.xipos - rootx  # com of body relative to root-com frame origin
+    cinert = mx.inert_from_body(m.body_mass, m.body_inertia, offset, d.ximat)
+
+    # cdof
+    cdofs = []
+    for jid in range(m.njnt):
+        jtype = JointType(m.jnt_type[jid])
+        bodyid = m.jnt_bodyid[jid]
+        com = subtree_com[m.body_rootid[bodyid]]
+        anchor = d.jnt_xanchor[jid]
+        if jtype == JointType.FREE:
+            for k in range(3):
+                e = jnp.zeros(6, dtype).at[3 + k].set(1.0)
+                cdofs.append(e)
+            frame = d.xmat[bodyid]  # columns = body axes in world
+            for k in range(3):
+                ax = frame[:, k]
+                cdofs.append(jnp.concatenate([ax, jnp.cross(ax, com - anchor)]))
+        elif jtype == JointType.BALL:
+            frame = d.xmat[bodyid]
+            for k in range(3):
+                ax = frame[:, k]
+                cdofs.append(jnp.concatenate([ax, jnp.cross(ax, com - anchor)]))
+        elif jtype == JointType.SLIDE:
+            ax = d.jnt_xaxis[jid]
+            cdofs.append(jnp.concatenate([jnp.zeros(3, dtype), ax]))
+        else:  # HINGE
+            ax = d.jnt_xaxis[jid]
+            cdofs.append(jnp.concatenate([ax, jnp.cross(ax, com - anchor)]))
+    cdof = jnp.stack(cdofs) if cdofs else jnp.zeros((0, 6), dtype)
+
+    return d.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof)
+
+
+def com_vel(m: Model, d: Data) -> Data:
+    """mj_comVel: body spatial velocities and cdof time-derivatives."""
+    dtype = d.qpos.dtype
+    cvel = [jnp.zeros(6, dtype)]
+    cdof_dot = [None] * m.nv
+    for i in range(1, m.nbody):
+        p = m.body_parentid[i]
+        vel = cvel[p]
+        jadr, jnum = m.body_jntadr[i], m.body_jntnum[i]
+        for jid in range(jadr, jadr + jnum):
+            jtype = JointType(m.jnt_type[jid])
+            dadr = m.jnt_dofadr[jid]
+            if jtype == JointType.FREE:
+                # translation dofs: constant world axes, cdofdot = 0
+                for k in range(3):
+                    cdof_dot[dadr + k] = jnp.zeros(6, dtype)
+                vel = vel + d.cdof[dadr:dadr + 3].T @ d.qvel[dadr:dadr + 3]
+                # rotation dofs: like ball, using velocity incl. translations
+                for k in range(3, 6):
+                    cdof_dot[dadr + k] = mx.motion_cross(vel, d.cdof[dadr + k])
+                vel = vel + d.cdof[dadr + 3:dadr + 6].T @ d.qvel[dadr + 3:dadr + 6]
+            elif jtype == JointType.BALL:
+                for k in range(3):
+                    cdof_dot[dadr + k] = mx.motion_cross(vel, d.cdof[dadr + k])
+                vel = vel + d.cdof[dadr:dadr + 3].T @ d.qvel[dadr:dadr + 3]
+            else:
+                cdof_dot[dadr] = mx.motion_cross(vel, d.cdof[dadr])
+                vel = vel + d.cdof[dadr] * d.qvel[dadr]
+        cvel.append(vel)
+    cvel = jnp.stack(cvel)
+    cdof_dot = (jnp.stack(cdof_dot) if m.nv else jnp.zeros((0, 6), dtype))
+    return d.replace(cvel=cvel, cdof_dot=cdof_dot)
+
+
+# ---------------------------------------------------------------------------
+# Jacobians.
+# ---------------------------------------------------------------------------
+
+
+def _body_dof_chain(m: Model, bodyid: int) -> Tuple[int, ...]:
+    """Static list of dofs affecting ``bodyid`` (ancestors incl. self)."""
+    dofs = []
+    b = bodyid
+    while b != 0:
+        adr, num = m.body_dofadr[b], m.body_dofnum[b]
+        if num > 0:
+            dofs.extend(range(adr, adr + num))
+        b = m.body_parentid[b]
+    return tuple(sorted(dofs))
+
+
+def jac(m: Model, d: Data, point, bodyid: int):
+    """mj_jac: translational and rotational jacobians of a world point on a
+    body.  Returns (jacp, jacr), each (3, nv)."""
+    dtype = d.qpos.dtype
+    jacp = jnp.zeros((3, m.nv), dtype)
+    jacr = jnp.zeros((3, m.nv), dtype)
+    chain = _body_dof_chain(m, bodyid)
+    if not chain:
+        return jacp, jacr
+    com = d.subtree_com[m.body_rootid[bodyid]]
+    offset = point - com
+    idx = jnp.array(chain, jnp.int32)
+    cd = d.cdof[idx]  # (k, 6)
+    jp = cd[:, 3:] + jnp.cross(cd[:, :3], jnp.broadcast_to(offset, cd[:, :3].shape))
+    jacp = jacp.at[:, idx].set(jp.T)
+    jacr = jacr.at[:, idx].set(cd[:, :3].T)
+    return jacp, jacr
+
+
+def jac_site(m: Model, d: Data, siteid: int):
+    return jac(m, d, d.site_xpos[siteid], m.site_bodyid[siteid])
+
+
+# ---------------------------------------------------------------------------
+# Tendons.
+# ---------------------------------------------------------------------------
+
+
+def tendon(m: Model, d: Data) -> Data:
+    """mj_tendon: lengths and moment arms of fixed and spatial tendons."""
+    if m.ntendon == 0:
+        return d
+    dtype = d.qpos.dtype
+    lengths = []
+    moments = []
+    for t in range(m.ntendon):
+        adr, num = m.tendon_adr[t], m.tendon_num[t]
+        wtypes = m.wrap_type[adr:adr + num]
+        if all(w == int(WrapType.JOINT) for w in wtypes):
+            ln = jnp.zeros((), dtype)
+            mom = jnp.zeros(m.nv, dtype)
+            for k in range(adr, adr + num):
+                jid = m.wrap_objid[k]
+                coef = m.wrap_prm[k]
+                qadr = m.jnt_qposadr[jid]
+                dadr = m.jnt_dofadr[jid]
+                ln = ln + coef * d.qpos[qadr]
+                mom = mom.at[dadr].add(coef)
+            lengths.append(ln)
+            moments.append(mom)
+        else:
+            # spatial: straight segments between consecutive sites
+            sites = [m.wrap_objid[k] for k in range(adr, adr + num)]
+            ln = jnp.zeros((), dtype)
+            mom = jnp.zeros(m.nv, dtype)
+            for s0, s1 in zip(sites[:-1], sites[1:]):
+                p0, p1 = d.site_xpos[s0], d.site_xpos[s1]
+                diff = p1 - p0
+                seg = jnp.linalg.norm(diff)
+                dirv = diff / jnp.maximum(seg, 1e-15)
+                ln = ln + seg
+                jacp0, _ = jac_site(m, d, s0)
+                jacp1, _ = jac_site(m, d, s1)
+                mom = mom + dirv @ (jacp1 - jacp0)
+            lengths.append(ln)
+            moments.append(mom)
+    ten_length = jnp.stack(lengths)
+    ten_moment = jnp.stack(moments)
+    return d.replace(ten_length=ten_length, ten_moment=ten_moment)

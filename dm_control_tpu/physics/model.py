@@ -1,0 +1,634 @@
+"""Model and Data pytrees: the analogues of mjModel / mjData.
+
+The reference wraps mjModel/mjData C structs via ctypes
+(dm_control/mujoco/wrapper/core.py:444,630).  Here the model is an
+ahead-of-time-compiled pytree:
+
+- *structural* fields (tree topology, joint/geom types, addresses) are
+  **static** python tuples — they drive trace-time code generation, so the
+  compiled XLA program is specialized to the model's structure with no
+  dynamic indexing on the hot path;
+- *numeric* fields (positions, masses, gains, ranges) are array leaves —
+  they can be batched, donated, or domain-randomized without retracing.
+
+``Data`` is a pure pytree of arrays for a single environment; batching is
+``jax.vmap`` over ``Data`` with a shared ``Model``.
+
+Field names follow mjModel/mjData so parity against the reference can be
+checked mechanically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Enums (values match MuJoCo's mjtJoint/mjtGeom/... so compiled models can be
+# diffed against a mujoco oracle in tests).
+# ---------------------------------------------------------------------------
+
+
+class JointType(enum.IntEnum):
+    FREE = 0
+    BALL = 1
+    SLIDE = 2
+    HINGE = 3
+
+    @property
+    def dof_width(self) -> int:
+        return {0: 6, 1: 3, 2: 1, 3: 1}[int(self)]
+
+    @property
+    def qpos_width(self) -> int:
+        return {0: 7, 1: 4, 2: 1, 3: 1}[int(self)]
+
+
+class GeomType(enum.IntEnum):
+    PLANE = 0
+    HFIELD = 1
+    SPHERE = 2
+    CAPSULE = 3
+    ELLIPSOID = 4
+    CYLINDER = 5
+    BOX = 6
+    MESH = 7
+
+
+class TrnType(enum.IntEnum):
+    JOINT = 0
+    JOINTINPARENT = 1
+    SLIDERCRANK = 2
+    TENDON = 3
+    SITE = 4
+    BODY = 5
+
+
+class DynType(enum.IntEnum):
+    NONE = 0
+    INTEGRATOR = 1
+    FILTER = 2
+    FILTEREXACT = 3
+    MUSCLE = 4
+
+
+class GainType(enum.IntEnum):
+    FIXED = 0
+    AFFINE = 1
+    MUSCLE = 2
+
+
+class BiasType(enum.IntEnum):
+    NONE = 0
+    AFFINE = 1
+    MUSCLE = 2
+
+
+class IntegratorType(enum.IntEnum):
+    EULER = 0
+    RK4 = 1
+    IMPLICIT = 2
+    IMPLICITFAST = 3
+
+
+class ConeType(enum.IntEnum):
+    PYRAMIDAL = 0
+    ELLIPTIC = 1
+
+
+class SolverType(enum.IntEnum):
+    PGS = 0
+    CG = 1
+    NEWTON = 2
+
+
+class EqType(enum.IntEnum):
+    CONNECT = 0
+    WELD = 1
+    JOINT = 2
+    TENDON = 3
+    DISTANCE = 4
+
+
+class WrapType(enum.IntEnum):
+    NONE = 0
+    JOINT = 1
+    PULLEY = 2
+    SITE = 3
+    SPHERE = 4
+    CYLINDER = 5
+
+
+class SensorType(enum.IntEnum):
+    """Subset of mjtSensor covering the reference suite's needs."""
+
+    TOUCH = 0
+    ACCELEROMETER = 1
+    VELOCIMETER = 2
+    GYRO = 3
+    FORCE = 4
+    TORQUE = 5
+    MAGNETOMETER = 6
+    RANGEFINDER = 7
+    JOINTPOS = 8
+    JOINTVEL = 9
+    TENDONPOS = 10
+    TENDONVEL = 11
+    ACTUATORPOS = 12
+    ACTUATORVEL = 13
+    ACTUATORFRC = 14
+    BALLQUAT = 15
+    BALLANGVEL = 16
+    FRAMEPOS = 17
+    FRAMEQUAT = 18
+    FRAMEXAXIS = 19
+    FRAMEYAXIS = 20
+    FRAMEZAXIS = 21
+    FRAMELINVEL = 22
+    FRAMEANGVEL = 23
+    FRAMELINACC = 24
+    FRAMEANGACC = 25
+    SUBTREECOM = 26
+    SUBTREELINVEL = 27
+    SUBTREEANGMOM = 28
+
+
+class ObjType(enum.IntEnum):
+    """mjtObj subset used for sensor attachment / named references."""
+
+    BODY = 1
+    XBODY = 2
+    JOINT = 3
+    GEOM = 5
+    SITE = 6
+    CAMERA = 7
+
+
+class DisableBit(enum.IntFlag):
+    """mjtDisableBit: option.disableflags."""
+
+    CONSTRAINT = 1 << 0
+    EQUALITY = 1 << 1
+    FRICTIONLOSS = 1 << 2
+    LIMIT = 1 << 3
+    CONTACT = 1 << 4
+    PASSIVE = 1 << 5
+    GRAVITY = 1 << 6
+    CLAMPCTRL = 1 << 7
+    WARMSTART = 1 << 8
+    FILTERPARENT = 1 << 9
+    ACTUATION = 1 << 10
+    REFSAFE = 1 << 11
+
+
+# ---------------------------------------------------------------------------
+# Pytree dataclass machinery.
+# ---------------------------------------------------------------------------
+
+
+def static_field(**kwargs):
+    """A dataclass field stored as pytree *metadata* (static, hashable)."""
+    return dataclasses.field(metadata={"static": True}, **kwargs)
+
+
+def pytree_dataclass(cls):
+    """Registers a frozen dataclass as a pytree, honoring ``static_field``."""
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    data_fields = []
+    meta_fields = []
+    for f in dataclasses.fields(cls):
+        if f.metadata.get("static", False):
+            meta_fields.append(f.name)
+        else:
+            data_fields.append(f.name)
+    jax.tree_util.register_dataclass(
+        cls, data_fields=data_fields, meta_fields=meta_fields
+    )
+
+    def replace(self, **updates):
+        return dataclasses.replace(self, **updates)
+
+    cls.replace = replace
+    return cls
+
+
+def _t(x) -> Tuple:
+    """Converts array-likes to nested tuples for static storage."""
+    if hasattr(x, "tolist"):
+        x = x.tolist()
+    if isinstance(x, (list, tuple)):
+        return tuple(_t(v) for v in x)
+    return x
+
+
+@pytree_dataclass
+class Option:
+    """Physics options (mjOption analogue, mujoco/mjmodel.h mjOption)."""
+
+    # Array leaves — can differ across a batch / be randomized.
+    timestep: jax.Array
+    gravity: jax.Array  # (3,)
+    wind: jax.Array  # (3,)
+    magnetic: jax.Array  # (3,)
+    density: jax.Array  # ()
+    viscosity: jax.Array  # ()
+    impratio: jax.Array  # ()
+    tolerance: jax.Array  # () solver early-exit threshold
+    o_margin: jax.Array
+    o_solref: jax.Array  # (2,)
+    o_solimp: jax.Array  # (5,)
+    # Static solver configuration.
+    integrator: int = static_field(default=int(IntegratorType.EULER))
+    cone: int = static_field(default=int(ConeType.PYRAMIDAL))
+    solver: int = static_field(default=int(SolverType.NEWTON))
+    iterations: int = static_field(default=100)
+    ls_iterations: int = static_field(default=50)
+    noslip_iterations: int = static_field(default=0)
+    disableflags: int = static_field(default=0)
+
+    @classmethod
+    def default(cls, dtype=jnp.float64) -> "Option":
+        z3 = jnp.zeros(3, dtype)
+        return cls(
+            timestep=jnp.asarray(0.002, dtype),
+            gravity=jnp.array([0.0, 0.0, -9.81], dtype),
+            wind=z3,
+            magnetic=jnp.array([0.0, -0.5, 0.0], dtype),
+            density=jnp.asarray(0.0, dtype),
+            viscosity=jnp.asarray(0.0, dtype),
+            impratio=jnp.asarray(1.0, dtype),
+            tolerance=jnp.asarray(1e-8, dtype),
+            o_margin=jnp.asarray(0.0, dtype),
+            o_solref=jnp.array([0.02, 1.0], dtype),
+            o_solimp=jnp.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype),
+        )
+
+
+@pytree_dataclass
+class Statistic:
+    """Model statistics (mjStatistic): set by the compiler or the XML."""
+
+    meaninertia: jax.Array
+    meanmass: jax.Array
+    meansize: jax.Array
+    extent: jax.Array
+    center: jax.Array  # (3,)
+
+
+@pytree_dataclass
+class Model:
+    """Static, compiled physics model: the mjModel analogue.
+
+    Structural fields are python tuples (pytree metadata); numeric fields
+    are jnp arrays (pytree leaves).  Produced by
+    ``dm_control_tpu.mjcf.compiler``.
+    """
+
+    # ---- sizes (static ints) ----
+    nq: int = static_field()
+    nv: int = static_field()
+    nu: int = static_field()
+    na: int = static_field()
+    nbody: int = static_field()
+    njnt: int = static_field()
+    ngeom: int = static_field()
+    nsite: int = static_field()
+    ntendon: int = static_field()
+    nwrap: int = static_field()
+    nsensor: int = static_field()
+    nsensordata: int = static_field()
+    neq: int = static_field()
+    ncam: int = static_field()
+
+    # ---- options / statistics ----
+    opt: Option = None
+    stat: Statistic = None
+
+    # ---- reference configuration ----
+    qpos0: jax.Array = None  # (nq,)
+    qpos_spring: jax.Array = None  # (nq,)
+
+    # ---- bodies ----
+    body_parentid: Tuple[int, ...] = static_field(default=())
+    body_rootid: Tuple[int, ...] = static_field(default=())
+    body_weldid: Tuple[int, ...] = static_field(default=())
+    body_jntadr: Tuple[int, ...] = static_field(default=())
+    body_jntnum: Tuple[int, ...] = static_field(default=())
+    body_dofadr: Tuple[int, ...] = static_field(default=())
+    body_dofnum: Tuple[int, ...] = static_field(default=())
+    body_geomadr: Tuple[int, ...] = static_field(default=())
+    body_geomnum: Tuple[int, ...] = static_field(default=())
+    body_pos: jax.Array = None  # (nbody, 3)
+    body_quat: jax.Array = None  # (nbody, 4)
+    body_ipos: jax.Array = None  # (nbody, 3)
+    body_iquat: jax.Array = None  # (nbody, 4)
+    body_mass: jax.Array = None  # (nbody,)
+    body_subtreemass: jax.Array = None  # (nbody,)
+    body_inertia: jax.Array = None  # (nbody, 3)
+    body_invweight0: jax.Array = None  # (nbody, 2)
+
+    # ---- joints ----
+    jnt_type: Tuple[int, ...] = static_field(default=())
+    jnt_qposadr: Tuple[int, ...] = static_field(default=())
+    jnt_dofadr: Tuple[int, ...] = static_field(default=())
+    jnt_bodyid: Tuple[int, ...] = static_field(default=())
+    jnt_limited: Tuple[int, ...] = static_field(default=())
+    jnt_axis: jax.Array = None  # (njnt, 3)
+    jnt_pos: jax.Array = None  # (njnt, 3)
+    jnt_range: jax.Array = None  # (njnt, 2)
+    jnt_margin: jax.Array = None  # (njnt,)
+    jnt_stiffness: jax.Array = None  # (njnt,)
+    jnt_solref: jax.Array = None  # (njnt, 2)
+    jnt_solimp: jax.Array = None  # (njnt, 5)
+
+    # ---- dofs ----
+    dof_bodyid: Tuple[int, ...] = static_field(default=())
+    dof_jntid: Tuple[int, ...] = static_field(default=())
+    dof_parentid: Tuple[int, ...] = static_field(default=())
+    dof_armature: jax.Array = None  # (nv,)
+    dof_damping: jax.Array = None  # (nv,)
+    dof_frictionloss: jax.Array = None  # (nv,)
+    dof_invweight0: jax.Array = None  # (nv,)
+    dof_solref: jax.Array = None  # (nv, 2) friction-loss solref
+    dof_solimp: jax.Array = None  # (nv, 5)
+
+    # ---- geoms ----
+    geom_type: Tuple[int, ...] = static_field(default=())
+    geom_contype: Tuple[int, ...] = static_field(default=())
+    geom_conaffinity: Tuple[int, ...] = static_field(default=())
+    geom_condim: Tuple[int, ...] = static_field(default=())
+    geom_bodyid: Tuple[int, ...] = static_field(default=())
+    geom_priority: Tuple[int, ...] = static_field(default=())
+    geom_size: jax.Array = None  # (ngeom, 3)
+    geom_rbound: jax.Array = None  # (ngeom,)
+    geom_pos: jax.Array = None  # (ngeom, 3)
+    geom_quat: jax.Array = None  # (ngeom, 4)
+    geom_friction: jax.Array = None  # (ngeom, 3)
+    geom_margin: jax.Array = None  # (ngeom,)
+    geom_gap: jax.Array = None  # (ngeom,)
+    geom_solmix: jax.Array = None  # (ngeom,)
+    geom_solref: jax.Array = None  # (ngeom, 2)
+    geom_solimp: jax.Array = None  # (ngeom, 5)
+    geom_rgba: jax.Array = None  # (ngeom, 4)
+
+    # ---- sites ----
+    site_type: Tuple[int, ...] = static_field(default=())
+    site_bodyid: Tuple[int, ...] = static_field(default=())
+    site_size: jax.Array = None  # (nsite, 3)
+    site_pos: jax.Array = None  # (nsite, 3)
+    site_quat: jax.Array = None  # (nsite, 4)
+
+    # ---- tendons ----
+    tendon_adr: Tuple[int, ...] = static_field(default=())
+    tendon_num: Tuple[int, ...] = static_field(default=())
+    tendon_limited: Tuple[int, ...] = static_field(default=())
+    tendon_range: jax.Array = None  # (ntendon, 2)
+    tendon_margin: jax.Array = None  # (ntendon,)
+    tendon_stiffness: jax.Array = None  # (ntendon,)
+    tendon_damping: jax.Array = None  # (ntendon,)
+    tendon_lengthspring: jax.Array = None  # (ntendon, 2)
+    tendon_solref_lim: jax.Array = None  # (ntendon, 2)
+    tendon_solimp_lim: jax.Array = None  # (ntendon, 5)
+    tendon_length0: jax.Array = None  # (ntendon,) length at qpos0
+    tendon_invweight0: jax.Array = None  # (ntendon,)
+    wrap_type: Tuple[int, ...] = static_field(default=())
+    wrap_objid: Tuple[int, ...] = static_field(default=())
+    wrap_prm: jax.Array = None  # (nwrap,)
+
+    # ---- actuators ----
+    actuator_trntype: Tuple[int, ...] = static_field(default=())
+    actuator_dyntype: Tuple[int, ...] = static_field(default=())
+    actuator_gaintype: Tuple[int, ...] = static_field(default=())
+    actuator_biastype: Tuple[int, ...] = static_field(default=())
+    actuator_trnid: Tuple[Tuple[int, int], ...] = static_field(default=())
+    actuator_actadr: Tuple[int, ...] = static_field(default=())
+    actuator_actnum: Tuple[int, ...] = static_field(default=())
+    actuator_ctrllimited: Tuple[int, ...] = static_field(default=())
+    actuator_forcelimited: Tuple[int, ...] = static_field(default=())
+    actuator_dynprm: jax.Array = None  # (nu, 10)
+    actuator_gainprm: jax.Array = None  # (nu, 10)
+    actuator_biasprm: jax.Array = None  # (nu, 10)
+    actuator_ctrlrange: jax.Array = None  # (nu, 2)
+    actuator_forcerange: jax.Array = None  # (nu, 2)
+    actuator_gear: jax.Array = None  # (nu, 6)
+
+    # ---- sensors ----
+    sensor_type: Tuple[int, ...] = static_field(default=())
+    sensor_objtype: Tuple[int, ...] = static_field(default=())
+    sensor_objid: Tuple[int, ...] = static_field(default=())
+    sensor_adr: Tuple[int, ...] = static_field(default=())
+    sensor_dim: Tuple[int, ...] = static_field(default=())
+    sensor_cutoff: jax.Array = None  # (nsensor,)
+
+    # ---- equality constraints ----
+    eq_type: Tuple[int, ...] = static_field(default=())
+    eq_obj1id: Tuple[int, ...] = static_field(default=())
+    eq_obj2id: Tuple[int, ...] = static_field(default=())
+    eq_active0: Tuple[int, ...] = static_field(default=())
+    eq_solref: jax.Array = None  # (neq, 2)
+    eq_solimp: jax.Array = None  # (neq, 5)
+    eq_data: jax.Array = None  # (neq, 11)
+
+    # ---- precomputed structure (static) ----
+    # Bodies grouped by tree depth (level-parallel FK): ((1,2), (3,4,5), ...)
+    body_tree_levels: Tuple[Tuple[int, ...], ...] = static_field(default=())
+    # Candidate collision pairs after static filtering: ((g1, g2), ...)
+    collision_pairs: Tuple[Tuple[int, int], ...] = static_field(default=())
+    # Per-dof ancestor mask is derived (see inertia.py) — kept as an array.
+    dof_ancestor_mask: jax.Array = None  # (nv, nv) 0/1
+
+    # ---- names (host-side only; static) ----
+    names: Any = static_field(default=None)  # NameMap
+
+    @property
+    def dtype(self):
+        return self.qpos0.dtype
+
+
+class NameMap:
+    """Immutable name→id maps per namespace (hashable, compile-time only)."""
+
+    __slots__ = ("body", "joint", "geom", "site", "actuator", "sensor",
+                 "tendon", "camera", "equality", "_key")
+
+    def __init__(self, **ns):
+        for slot in self.__slots__:
+            if slot != "_key":
+                object.__setattr__(self, slot, dict(ns.get(slot, {})))
+        object.__setattr__(
+            self,
+            "_key",
+            tuple(
+                (s, tuple(sorted(getattr(self, s).items())))
+                for s in self.__slots__
+                if s != "_key"
+            ),
+        )
+
+    def __setattr__(self, *_):
+        raise AttributeError("NameMap is immutable")
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, NameMap) and self._key == other._key
+
+
+@pytree_dataclass
+class Contact:
+    """Fixed-size contact arrays (mjContact analogue), one row per candidate
+    pair found by the static broadphase.  ``dist > includemargin`` rows are
+    inactive; they remain in the arrays with zero impedance (no dynamic
+    shapes on the hot path)."""
+
+    dist: jax.Array  # (ncon,)
+    pos: jax.Array  # (ncon, 3)
+    frame: jax.Array  # (ncon, 3, 3) rows: normal, tangent1, tangent2
+    includemargin: jax.Array  # (ncon,)
+    friction: jax.Array  # (ncon, 5)
+    solref: jax.Array  # (ncon, 2)
+    solimp: jax.Array  # (ncon, 5)
+    dim: Tuple[int, ...] = static_field(default=())  # condim per row
+    geom1: Tuple[int, ...] = static_field(default=())
+    geom2: Tuple[int, ...] = static_field(default=())
+
+
+@pytree_dataclass
+class Data:
+    """Per-environment dynamic state + computed quantities (mjData analogue).
+
+    A single environment's state; batch simulation vmaps over this pytree.
+    """
+
+    # ---- state ----
+    time: jax.Array  # ()
+    qpos: jax.Array  # (nq,)
+    qvel: jax.Array  # (nv,)
+    act: jax.Array  # (na,)
+    ctrl: jax.Array  # (nu,)
+    qfrc_applied: jax.Array  # (nv,)
+    xfrc_applied: jax.Array  # (nbody, 6)
+    qacc_warmstart: jax.Array  # (nv,)
+
+    # ---- kinematics ----
+    xpos: jax.Array  # (nbody, 3)
+    xquat: jax.Array  # (nbody, 4)
+    xmat: jax.Array  # (nbody, 3, 3)
+    xipos: jax.Array  # (nbody, 3)
+    ximat: jax.Array  # (nbody, 3, 3)
+    geom_xpos: jax.Array  # (ngeom, 3)
+    geom_xmat: jax.Array  # (ngeom, 3, 3)
+    site_xpos: jax.Array  # (nsite, 3)
+    site_xmat: jax.Array  # (nsite, 3, 3)
+    subtree_com: jax.Array  # (nbody, 3)
+    jnt_xanchor: jax.Array  # (njnt, 3)
+    jnt_xaxis: jax.Array  # (njnt, 3)
+
+    # ---- inertia / motion subspace (CoM-centered frames) ----
+    cdof: jax.Array  # (nv, 6)
+    cinert: jax.Array  # (nbody, 10)
+    qM: jax.Array  # (nv, nv) dense joint-space inertia
+    qLD: jax.Array  # (nv, nv) Cholesky factor of qM (+ armature)
+
+    # ---- velocity-dependent ----
+    cvel: jax.Array  # (nbody, 6)
+    cdof_dot: jax.Array  # (nv, 6)
+    qfrc_bias: jax.Array  # (nv,)
+    qfrc_passive: jax.Array  # (nv,)
+
+    # ---- actuation ----
+    actuator_length: jax.Array  # (nu,)
+    actuator_moment: jax.Array  # (nu, nv)
+    actuator_velocity: jax.Array  # (nu,)
+    actuator_force: jax.Array  # (nu,)
+    act_dot: jax.Array  # (na,)
+    qfrc_actuator: jax.Array  # (nv,)
+
+    # ---- tendons ----
+    ten_length: jax.Array  # (ntendon,)
+    ten_moment: jax.Array  # (ntendon, nv)
+    ten_velocity: jax.Array  # (ntendon,)
+
+    # ---- contacts / constraints ----
+    contact: Contact
+    efc_force_cache: jax.Array  # warm-start cache for the solver, (nefc,)
+    qfrc_constraint: jax.Array  # (nv,)
+
+    # ---- acceleration ----
+    qfrc_smooth: jax.Array  # (nv,)
+    qacc_smooth: jax.Array  # (nv,)
+    qacc: jax.Array  # (nv,)
+
+    # ---- sensors / diagnostics ----
+    sensordata: jax.Array  # (nsensordata,)
+    energy: jax.Array  # (2,) potential, kinetic
+    solver_niter: jax.Array  # () iterations used (diagnostic)
+
+
+def make_data(m: Model, dtype=None) -> Data:
+    """Allocates a zero-initialized Data with qpos = qpos0 (mj_makeData)."""
+    dtype = dtype or m.qpos0.dtype
+
+    def z(*shape):
+        return jnp.zeros(shape, dtype)
+
+    ncon = len(m.collision_pairs_expanded) if hasattr(m, "collision_pairs_expanded") else 0
+    # Contact rows are produced by collision.make_contact; allocate empty here.
+    from dm_control_tpu.physics import collision  # circular-safe: lazy
+
+    contact = collision.empty_contact(m, dtype)
+    nefc = 0  # efc cache sized lazily by the solver on first use
+    return Data(
+        time=jnp.asarray(0.0, dtype),
+        qpos=m.qpos0.astype(dtype),
+        qvel=z(m.nv),
+        act=z(m.na),
+        ctrl=z(m.nu),
+        qfrc_applied=z(m.nv),
+        xfrc_applied=z(m.nbody, 6),
+        qacc_warmstart=z(m.nv),
+        xpos=z(m.nbody, 3),
+        xquat=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (m.nbody, 1)),
+        xmat=jnp.tile(jnp.eye(3, dtype=dtype), (m.nbody, 1, 1)),
+        xipos=z(m.nbody, 3),
+        ximat=jnp.tile(jnp.eye(3, dtype=dtype), (m.nbody, 1, 1)),
+        geom_xpos=z(m.ngeom, 3),
+        geom_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (m.ngeom, 1, 1)),
+        site_xpos=z(m.nsite, 3),
+        site_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (m.nsite, 1, 1)),
+        subtree_com=z(m.nbody, 3),
+        jnt_xanchor=z(m.njnt, 3),
+        jnt_xaxis=z(m.njnt, 3),
+        cdof=z(m.nv, 6),
+        cinert=z(m.nbody, 10),
+        qM=z(m.nv, m.nv),
+        qLD=z(m.nv, m.nv),
+        cvel=z(m.nbody, 6),
+        cdof_dot=z(m.nv, 6),
+        qfrc_bias=z(m.nv),
+        qfrc_passive=z(m.nv),
+        actuator_length=z(m.nu),
+        actuator_moment=z(m.nu, m.nv),
+        actuator_velocity=z(m.nu),
+        actuator_force=z(m.nu),
+        act_dot=z(m.na),
+        qfrc_actuator=z(m.nv),
+        ten_length=z(m.ntendon),
+        ten_moment=z(m.ntendon, m.nv),
+        ten_velocity=z(m.ntendon),
+        contact=contact,
+        efc_force_cache=z(nefc),
+        qfrc_constraint=z(m.nv),
+        qfrc_smooth=z(m.nv),
+        qacc_smooth=z(m.nv),
+        qacc=z(m.nv),
+        sensordata=z(m.nsensordata),
+        energy=z(2),
+        solver_niter=jnp.asarray(0, jnp.int32),
+    )
