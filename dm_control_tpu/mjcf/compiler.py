@@ -77,6 +77,23 @@ def _kw(v, table: Dict[str, int], default=None) -> Optional[int]:
     return table[str(v).lower()]
 
 
+
+_DEF_SOLREF = np.array([0.02, 1.0])
+_DEF_SOLIMP = np.array([0.9, 0.95, 0.001, 0.5, 2.0])
+
+
+def _solpad(v, default) -> np.ndarray:
+    """Parses a solref/solimp attribute, padding missing trailing entries
+    with the MuJoCo defaults (partial specs like solimplimit="0 .99 .01"
+    keep default midpoint/power)."""
+    if v is None:
+        return default.copy()
+    raw = _floats(v)
+    out = default.copy()
+    out[: min(raw.size, out.size)] = raw[: out.size]
+    return out
+
+
 class _Compiler:
     """One-shot compiler state."""
 
@@ -364,10 +381,10 @@ class _Compiler:
             damping=_float(attrs.get("damping"), 0.0),
             armature=_float(attrs.get("armature"), 0.0),
             frictionloss=_float(attrs.get("frictionloss"), 0.0),
-            solref=_floats(attrs.get("solreflimit"), 2) if attrs.get("solreflimit") is not None else np.array([0.02, 1.0]),
-            solimp=_floats(attrs.get("solimplimit"), 5) if attrs.get("solimplimit") is not None else np.array([0.9, 0.95, 0.001, 0.5, 2.0]),
-            solref_fri=_floats(attrs.get("solreffriction"), 2) if attrs.get("solreffriction") is not None else np.array([0.02, 1.0]),
-            solimp_fri=_floats(attrs.get("solimpfriction"), 5) if attrs.get("solimpfriction") is not None else np.array([0.9, 0.95, 0.001, 0.5, 2.0]),
+            solref=_solpad(attrs.get("solreflimit"), _DEF_SOLREF),
+            solimp=_solpad(attrs.get("solimplimit"), _DEF_SOLIMP),
+            solref_fri=_solpad(attrs.get("solreffriction"), _DEF_SOLREF),
+            solimp_fri=_solpad(attrs.get("solimpfriction"), _DEF_SOLIMP),
         ))
 
     _GEOM_TYPES = {"plane": 0, "hfield": 1, "sphere": 2, "capsule": 3,
@@ -417,8 +434,8 @@ class _Compiler:
             priority=_int(attrs.get("priority"), 0),
             friction=friction,
             solmix=_float(attrs.get("solmix"), 1.0),
-            solref=_floats(attrs.get("solref"), 2) if attrs.get("solref") is not None else np.array([0.02, 1.0]),
-            solimp=_floats(attrs.get("solimp"), 5) if attrs.get("solimp") is not None else np.array([0.9, 0.95, 0.001, 0.5, 2.0]),
+            solref=_solpad(attrs.get("solref"), _DEF_SOLREF),
+            solimp=_solpad(attrs.get("solimp"), _DEF_SOLIMP),
             margin=_float(attrs.get("margin"), 0.0),
             gap=_float(attrs.get("gap"), 0.0),
             mass=mass, density=density,
@@ -616,8 +633,8 @@ class _Compiler:
                 damping=_float(attrs.get("damping"), 0.0),
                 springlength=_floats(attrs.get("springlength"), 2, pad=-1.0)
                 if attrs.get("springlength") is not None else np.array([-1.0, -1.0]),
-                solref=_floats(attrs.get("solreflimit"), 2) if attrs.get("solreflimit") is not None else np.array([0.02, 1.0]),
-                solimp=_floats(attrs.get("solimplimit"), 5) if attrs.get("solimplimit") is not None else np.array([0.9, 0.95, 0.001, 0.5, 2.0]),
+                solref=_solpad(attrs.get("solreflimit"), _DEF_SOLREF),
+                solimp=_solpad(attrs.get("solimplimit"), _DEF_SOLIMP),
             ))
 
     # -- actuators ----------------------------------------------------------
@@ -812,14 +829,24 @@ class _Compiler:
                 if poly is None:
                     poly = np.array([0.0, 1, 0, 0, 0])
                 data[:5] = poly
+            elif e.tag == "tendon":
+                etype = EqType.TENDON
+                tnames = {t["name"]: i for i, t in enumerate(self.tendons)}
+                obj1 = tnames[attrs["tendon1"]]
+                obj2 = tnames.get(attrs.get("tendon2", ""), -1) \
+                    if attrs.get("tendon2") else -1
+                poly = _floats(attrs.get("polycoef"), 5)
+                if poly is None:
+                    poly = np.array([0.0, 1, 0, 0, 0])
+                data[:5] = poly
             else:
                 raise ValueError(f"unsupported equality <{e.tag}>")
             self.equalities.append(dict(
                 name=attrs.get("name", f"eq{len(self.equalities)}"),
                 type=etype, obj1id=obj1, obj2id=obj2,
                 active=_bool(attrs.get("active"), True),
-                solref=_floats(attrs.get("solref"), 2) if attrs.get("solref") is not None else np.array([0.02, 1.0]),
-                solimp=_floats(attrs.get("solimp"), 5) if attrs.get("solimp") is not None else np.array([0.9, 0.95, 0.001, 0.5, 2.0]),
+                solref=_solpad(attrs.get("solref"), _DEF_SOLREF),
+                solimp=_solpad(attrs.get("solimp"), _DEF_SOLIMP),
                 data=data,
             ))
 

@@ -37,13 +37,15 @@ def empty_contact(m, dtype) -> Contact:
 
 
 def _make_frame(normal):
-    """Builds [n, t1, t2] rows from a unit normal (mju_makeFrame)."""
+    """Builds [n, t1, t2] rows from a unit normal, matching mju_makeFrame:
+    helper = (0,1,0) if |n_y| < 0.5 else (0,0,1); t1 = normalize(helper -
+    n (n·helper)); t2 = n × t1.  Pyramidal friction forces depend on the
+    tangent orientation, so this must match MuJoCo exactly for parity."""
     n = normal
-    # pick a helper axis not parallel to n
-    a = jnp.where(jnp.abs(n[0]) < 0.5,
-                  jnp.array([1.0, 0.0, 0.0], n.dtype),
-                  jnp.array([0.0, 1.0, 0.0], n.dtype))
-    t1 = jnp.cross(n, a)
+    a = jnp.where(jnp.abs(n[1]) < 0.5,
+                  jnp.array([0.0, 1.0, 0.0], n.dtype),
+                  jnp.array([0.0, 0.0, 1.0], n.dtype))
+    t1 = a - n * jnp.dot(n, a)
     t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), _MINVAL)
     t2 = jnp.cross(n, t1)
     return jnp.stack([n, t1, t2])
@@ -64,16 +66,25 @@ def plane_sphere(p1, m1, s1, p2, m2, s2):
 
 
 def plane_capsule(p1, m1, s1, p2, m2, s2):
+    """Two cap contacts; tangent1 is the capsule axis projected onto the
+    plane (mjc_PlaneCapsule's frame convention — pyramidal friction parity
+    depends on it)."""
     n = m1[:, 2]
     r, hl = s2[0], s2[1]
     axis = m2[:, 2]
+    t1 = axis - n * jnp.dot(n, axis)
+    t1n = jnp.linalg.norm(t1)
+    # fallback to makeFrame's tangent when the capsule is plane-normal
+    fallback = _make_frame(n)[1]
+    t1 = jnp.where(t1n < 1e-10, fallback, t1 / jnp.maximum(t1n, _MINVAL))
+    frame = jnp.stack([n, t1, jnp.cross(n, t1)])
     out = []
     for sgn in (1.0, -1.0):
         c = p2 + sgn * hl * axis
         h = jnp.dot(n, c - p1)
         dist = h - r
         pos = c - n * (r + 0.5 * dist)
-        out.append((dist, pos, n))
+        out.append((dist, pos, frame))
     return out
 
 
@@ -323,7 +334,8 @@ def collision(m: Model, d: Data) -> Data:
         for dist, pos, normal in rows:
             dists.append(dist)
             poss.append(pos)
-            frames.append(_make_frame(normal))
+            # colliders may return a full (3,3) frame or just the normal
+            frames.append(normal if normal.ndim == 2 else _make_frame(normal))
             incmargins.append(incmargin)
             frictions.append(friction5)
             solrefs.append(solref)

@@ -179,6 +179,26 @@ def _equality_rows(m: Model, d: Data):
                 inv = m.dof_invweight0[d1]
             vel = J @ d.qvel
             rows.append(_row(m, J, pos, solref, solimp, inv, EQUALITY, vel))
+        elif etype == EqType.TENDON:
+            t1 = m.eq_obj1id[e]
+            t2 = m.eq_obj2id[e]
+            poly = m.eq_data[e, :5]
+            l1 = d.ten_length[t1] - m.tendon_length0[t1]
+            J = d.ten_moment[t1]
+            if t2 >= 0:
+                l2 = d.ten_length[t2] - m.tendon_length0[t2]
+                dpoly = (poly[1] + 2 * poly[2] * l2 + 3 * poly[3] * l2 ** 2
+                         + 4 * poly[4] * l2 ** 3)
+                val = (poly[0] + poly[1] * l2 + poly[2] * l2 ** 2
+                       + poly[3] * l2 ** 3 + poly[4] * l2 ** 4)
+                J = J - dpoly * d.ten_moment[t2]
+                pos = l1 - val
+                inv = m.tendon_invweight0[t1] + m.tendon_invweight0[t2]
+            else:
+                pos = l1 - poly[0]
+                inv = m.tendon_invweight0[t1]
+            vel = J @ d.qvel
+            rows.append(_row(m, J, pos, solref, solimp, inv, EQUALITY, vel))
         elif etype == EqType.WELD:
             b1, b2 = m.eq_obj1id[e], m.eq_obj2id[e]
             anchor = m.eq_data[e, :3]
