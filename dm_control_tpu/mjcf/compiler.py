@@ -487,6 +487,20 @@ class _Compiler:
     # -- inertia from geoms -------------------------------------------------
 
     def _finalize_bodies(self):
+        # mjModel stores geoms/sites/cameras contiguously per body
+        # (body_geomadr/geomnum); document order can interleave world geoms
+        # with body blocks, so stable-sort by bodyid and rebuild addresses.
+        for kind in ("geoms", "sites", "cams"):
+            items = getattr(self, kind)
+            items.sort(key=lambda it: it["bodyid"])
+        for body in self.bodies:
+            body["geomadr"], body["geomnum"] = -1, 0
+        for gid, g in enumerate(self.geoms):
+            body = self.bodies[g["bodyid"]]
+            if body["geomadr"] < 0:
+                body["geomadr"] = gid
+            body["geomnum"] += 1
+
         # geom masses/inertias
         for g in self.geoms:
             vol, inert_unit = _geom_volume_inertia(g["type"], g["size"])
@@ -1237,7 +1251,15 @@ def _z_to_quat(z):
 
 
 def _principal(imat):
-    """Symmetric inertia matrix → (eigenvalues desc, eigenvectors cols)."""
+    """Symmetric inertia matrix → (principal values, axes).
+
+    Matches MuJoCo's convention: an already-diagonal matrix is kept as-is
+    (identity frame, original axis order); otherwise eigendecompose with
+    eigenvalues in decreasing order.
+    """
+    off = abs(imat[0, 1]) + abs(imat[0, 2]) + abs(imat[1, 2])
+    if off == 0.0:  # exactly diagonal (MuJoCo keeps order; no eigh)
+        return np.diag(imat).copy(), np.eye(3)
     vals, vecs = np.linalg.eigh(imat)
     order = np.argsort(vals)[::-1]
     vals, vecs = vals[order], vecs[:, order]

@@ -25,14 +25,51 @@ from dm_control_tpu.physics.model import (
 _MINVAL = 1e-15
 
 
+def pair_static_info(m):
+    """Static per-pair info: (g1, g2, fn, nrows, condim) for supported
+    pairs, in collision_pairs order."""
+    out = []
+    for g1, g2 in m.collision_pairs:
+        key = (GeomType(m.geom_type[g1]), GeomType(m.geom_type[g2]))
+        if key not in _DISPATCH:
+            raise NotImplementedError(
+                f"collision {key[0].name}-{key[1].name} "
+                f"(geoms {g1},{g2}) not supported yet")
+        fn, nrows = _DISPATCH[key]
+        p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
+        if p1 != p2:
+            condim = m.geom_condim[g1 if p1 > p2 else g2]
+        else:
+            condim = max(m.geom_condim[g1], m.geom_condim[g2])
+        out.append((g1, g2, fn, nrows, int(condim)))
+    return out
+
+
 def empty_contact(m, dtype) -> Contact:
+    """A contact pytree with the model's static row structure, all rows
+    inactive (dist = +inf) — keeps Data structure constant across steps."""
+    dims, g1s, g2s = [], [], []
+    contact_off = bool(m.opt and (m.opt.disableflags & DisableBit.CONTACT))
+    if not contact_off:
+        for g1, g2, fn, nrows, condim in pair_static_info(m):
+            for _ in range(nrows):
+                dims.append(condim)
+                g1s.append(g1)
+                g2s.append(g2)
+    n = len(dims)
     z = jnp.zeros
-    n = 0
+    eye = jnp.tile(jnp.eye(3, dtype=dtype), (n, 1, 1))
     return Contact(
-        dist=z(n, dtype=dtype), pos=z((n, 3), dtype=dtype),
-        frame=z((n, 3, 3), dtype=dtype), includemargin=z(n, dtype=dtype),
-        friction=z((n, 5), dtype=dtype), solref=z((n, 2), dtype=dtype),
-        solimp=z((n, 5), dtype=dtype), dim=(), geom1=(), geom2=(),
+        dist=jnp.full((n,), jnp.inf, dtype=dtype),
+        pos=z((n, 3), dtype=dtype),
+        frame=eye if n else z((n, 3, 3), dtype=dtype),
+        includemargin=z(n, dtype=dtype),
+        friction=jnp.ones((n, 5), dtype=dtype),
+        solref=(jnp.tile(jnp.array([0.02, 1.0], dtype), (n, 1)) if n
+                else z((n, 2), dtype=dtype)),
+        solimp=(jnp.tile(jnp.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype),
+                         (n, 1)) if n else z((n, 5), dtype=dtype)),
+        dim=tuple(dims), geom1=tuple(g1s), geom2=tuple(g2s),
     )
 
 
@@ -321,14 +358,8 @@ def collision(m: Model, d: Data) -> Data:
     geom1s: List[int] = []
     geom2s: List[int] = []
 
-    for g1, g2 in m.collision_pairs:
-        key = (GeomType(m.geom_type[g1]), GeomType(m.geom_type[g2]))
-        if key not in _DISPATCH:
-            raise NotImplementedError(
-                f"collision {key[0].name}-{key[1].name} "
-                f"(geoms {g1},{g2}) not supported yet")
-        fn, _ = _DISPATCH[key]
-        condim, friction5, solref, solimp, incmargin = _pair_params(m, g1, g2)
+    for g1, g2, fn, nrows, condim in pair_static_info(m):
+        _, friction5, solref, solimp, incmargin = _pair_params(m, g1, g2)
         rows = fn(d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
                   d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2])
         for dist, pos, normal in rows:

@@ -45,6 +45,8 @@ class Efc:
     pos: jax.Array  # (nefc,) effective violation (dist - margin)
     floss: jax.Array  # (nefc,) friction loss bound (frictionloss rows)
     kind: Tuple[int, ...] = static_field(default=())
+    # (contact_index, first_row, n_rows) per contact, for force recovery
+    contact_spans: Tuple[Tuple[int, int, int], ...] = static_field(default=())
 
     @property
     def nefc(self) -> int:
@@ -110,13 +112,15 @@ def make_constraint(m: Model, d: Data) -> Efc:
             rows += _frictionloss_rows(m, d)
         if not (dis & DisableBit.LIMIT):
             rows += _limit_rows(m, d)
-        if not (dis & DisableBit.CONTACT):
-            rows += _contact_rows(m, d)
+    contact_spans = []
+    if not (dis & DisableBit.CONSTRAINT) and not (dis & DisableBit.CONTACT):
+        crows, contact_spans = _contact_rows(m, d, offset=len(rows))
+        rows += crows
 
     if not rows:
         z = jnp.zeros((0,), dtype)
         return Efc(J=jnp.zeros((0, m.nv), dtype), D=z, R=z, aref=z, pos=z,
-                   floss=z, kind=())
+                   floss=z, kind=(), contact_spans=())
 
     return Efc(
         J=jnp.stack([r["J"] for r in rows]),
@@ -126,6 +130,7 @@ def make_constraint(m: Model, d: Data) -> Efc:
         pos=jnp.stack([r["pos"] for r in rows]),
         floss=jnp.stack([r["floss"] for r in rows]),
         kind=tuple(r["kind"] for r in rows),
+        contact_spans=tuple(contact_spans),
     )
 
 
@@ -298,8 +303,9 @@ def _limit_rows(m: Model, d: Data):
     return rows
 
 
-def _contact_rows(m: Model, d: Data):
+def _contact_rows(m: Model, d: Data, offset: int = 0):
     rows = []
+    spans = []
     con = d.contact
     for c in range(len(con.dim)):
         g1, g2 = con.geom1[c], con.geom2[c]
@@ -313,10 +319,12 @@ def _contact_rows(m: Model, d: Data):
         jn = frame[0] @ jdiffp
         inv = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
         solref, solimp = con.solref[c], con.solimp[c]
+        start = offset + len(rows)
         if condim == 1:
             vel = jn @ d.qvel
             rows.append(_row(m, jn, pos_eff, solref, solimp, inv, LIMIT, vel,
                              active=pos_eff < 0))
+            spans.append((c, start, 1))
             continue
         # pyramidal cone: 2*(condim-1) rows mixing normal and ±mu*tangent
         mu = con.friction[c]
@@ -337,4 +345,5 @@ def _contact_rows(m: Model, d: Data):
                 vel = J @ d.qvel
                 rows.append(_row(m, J, pos_eff, solref, solimp, inv_pyr,
                                  LIMIT, vel, active=pos_eff < 0))
-    return rows
+        spans.append((c, start, 2 * (condim - 1)))
+    return rows, spans

@@ -82,7 +82,8 @@ def fwd_constraint(m: Model, d: Data) -> Data:
     efc = cons.make_constraint(m, d)
     if efc.nefc == 0:
         return d.replace(qacc=d.qacc_smooth,
-                         qfrc_constraint=jnp.zeros_like(d.qfrc_smooth))
+                         qfrc_constraint=jnp.zeros_like(d.qfrc_smooth),
+                         contact_force=jnp.zeros_like(d.contact_force))
     return slv.solve(m, d, efc)
 
 
@@ -216,6 +217,38 @@ def check_divergence(m: Model, d: Data):
 # ---------------------------------------------------------------------------
 
 
+def _is_simple_body(m: Model, b: int) -> bool:
+    """MuJoCo 'simple body' check (body_simple): all joints are slides with
+    world-aligned axes, com at the body frame origin, identity orientation,
+    and no moving ancestors."""
+    import numpy as np
+
+    p = m.body_parentid[b]
+    while p != 0:
+        if m.body_dofnum[p] > 0:
+            return False
+        p = m.body_parentid[p]
+    if any(m.body_parentid[c] == b for c in range(m.nbody) if c != b):
+        return False  # child bodies couple the mass matrix
+    if m.body_jntnum[b] == 0:
+        return False
+    quat = np.asarray(m.body_quat[b])
+    if not np.allclose(quat, [1, 0, 0, 0]):
+        return False
+    if not np.allclose(np.asarray(m.body_ipos[b]), 0.0):
+        return False
+    jadr, jnum = m.body_jntadr[b], m.body_jntnum[b]
+    for j in range(jadr, jadr + jnum):
+        if m.jnt_type[j] != int(JointType.SLIDE):
+            return False
+        axis = np.abs(np.asarray(m.jnt_axis[j]))
+        if not (np.isclose(axis.max(), 1.0) and np.isclose(axis.sum(), 1.0)):
+            return False
+        if not np.allclose(np.asarray(m.jnt_pos[j]), 0.0):
+            return False
+    return True
+
+
 def set_const(m: Model) -> Model:
     """Computes qpos0-derived constants: invweights, meaninertia, tendon
     reference lengths.  Host-side, runs once at compile."""
@@ -239,6 +272,14 @@ def set_const(m: Model) -> Model:
     for b in range(m.nbody):
         if m.nv == 0 or b == 0:
             biw.append(jnp.zeros(2, dtype))
+            continue
+        if _is_simple_body(m, b):
+            # MuJoCo's 'simple body' fast path (body_simple != 0): only
+            # world-aligned slide joints, com at the frame origin, static
+            # ancestors → invweight = [1/mass, 0]
+            biw.append(jnp.stack([
+                1.0 / jnp.maximum(m.body_mass[b], 1e-15),
+                jnp.zeros((), dtype)]))
             continue
         jacp, jacr = kin.jac(m, d, d.xipos[b], b)
         jt = jacp @ minv @ jacp.T

@@ -557,7 +557,7 @@ class Data:
 
     # ---- contacts / constraints ----
     contact: Contact
-    efc_force_cache: jax.Array  # warm-start cache for the solver, (nefc,)
+    contact_force: jax.Array  # (ncon,) normal force per contact row
     qfrc_constraint: jax.Array  # (nv,)
 
     # ---- acceleration ----
@@ -578,12 +578,12 @@ def make_data(m: Model, dtype=None) -> Data:
     def z(*shape):
         return jnp.zeros(shape, dtype)
 
-    ncon = len(m.collision_pairs_expanded) if hasattr(m, "collision_pairs_expanded") else 0
-    # Contact rows are produced by collision.make_contact; allocate empty here.
+    # Contact arrays carry the model's static row structure from the start
+    # so Data's pytree structure is invariant across steps (lax loops).
     from dm_control_tpu.physics import collision  # circular-safe: lazy
 
     contact = collision.empty_contact(m, dtype)
-    nefc = 0  # efc cache sized lazily by the solver on first use
+    ncon = len(contact.dim)
     return Data(
         time=jnp.asarray(0.0, dtype),
         qpos=m.qpos0.astype(dtype),
@@ -623,7 +623,7 @@ def make_data(m: Model, dtype=None) -> Data:
         ten_moment=z(m.ntendon, m.nv),
         ten_velocity=z(m.ntendon),
         contact=contact,
-        efc_force_cache=z(nefc),
+        contact_force=z(ncon),
         qfrc_constraint=z(m.nv),
         qfrc_smooth=z(m.nv),
         qacc_smooth=z(m.nv),

@@ -205,22 +205,31 @@ def _touch(m: Model, d: Data, siteid: int):
     (suite touch sites enclose their geoms)."""
     body = m.site_bodyid[siteid]
     total = jnp.zeros((), d.qpos.dtype)
-    # pyramid rows: normal force = sum of pyramid forces (each contributes
-    # its normal component 1:1 since rows are n ± mu t)
-    efc_adr = 0
-    # Recover normal force from cached efc forces via constraints layout is
-    # complex; instead approximate with penetration-force-free indicator:
-    # use solver forces stored per contact in qfrc; for now use a
-    # penetration-based proxy refined in sensor tests.
     con = d.contact
+    size = m.site_size[siteid]
+    stype = m.site_type[siteid]
     for c in range(len(con.dim)):
         b1 = m.geom_bodyid[con.geom1[c]]
         b2 = m.geom_bodyid[con.geom2[c]]
         if body not in (b1, b2):
             continue
-        force = d.contact_force_normal[c] if hasattr(d, "contact_force_normal") \
-            else jnp.maximum(-con.dist[c], 0.0) * 1e4
-        total = total + force
+        # contact position in site-local frame
+        p = d.site_xmat[siteid].T @ (con.pos[c] - d.site_xpos[siteid])
+        if stype == 2:  # sphere
+            inside = jnp.sum(p * p) <= size[0] ** 2
+        elif stype == 3:  # capsule
+            z = jnp.clip(p[2], -size[1], size[1])
+            inside = (p[0] ** 2 + p[1] ** 2
+                      + (p[2] - z) ** 2) <= size[0] ** 2
+        elif stype == 4:  # ellipsoid
+            inside = jnp.sum((p / jnp.maximum(size, 1e-15)) ** 2) <= 1.0
+        elif stype == 5:  # cylinder
+            inside = ((p[0] ** 2 + p[1] ** 2 <= size[0] ** 2)
+                      & (jnp.abs(p[2]) <= size[1]))
+        else:  # box
+            inside = jnp.all(jnp.abs(p) <= size)
+        total = total + jnp.where(
+            inside, jnp.maximum(d.contact_force[c], 0.0), 0.0)
     return total
 
 

@@ -140,10 +140,18 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
     _, dcost, _ = _cost_terms(efc, jar, eq, fl, uni)
     efc_force = -dcost
     qfrc_constraint = efc.J.T @ efc_force
-    qacc = x
+
+    # per-contact normal force: pyramidal rows each contribute their force
+    # 1:1 to the normal direction (rows are n ± mu t)
+    contact_force = d.contact_force
+    if efc.contact_spans:
+        contact_force = jnp.zeros_like(d.contact_force)
+        for conid, start, nrows in efc.contact_spans:
+            contact_force = contact_force.at[conid].set(
+                jnp.sum(efc_force[start:start + nrows]))
     return d.replace(
-        qacc=qacc,
+        qacc=x,
         qfrc_constraint=qfrc_constraint,
-        efc_force_cache=efc_force,
+        contact_force=contact_force,
         solver_niter=niter,
     )

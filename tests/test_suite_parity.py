@@ -1,0 +1,101 @@
+"""Suite task parity vs the installed dm_control under identical seeds.
+
+The determinism/parity contract (reference: dm_control/suite/suite_test.py
+:170-199 + BASELINE.md): same seed → same episode initialization, and
+matching observations/rewards along the episode.
+"""
+
+import numpy as np
+import pytest
+
+ref_suite = pytest.importorskip("dm_control.suite")
+
+import dm_control_tpu.suite as tpu_suite
+
+# (domain, task, steps, obs_tol): contact-rich domains accumulate fp chaos.
+EXACT = [
+    ("pendulum", "swingup", 50, 1e-10),
+    ("cartpole", "swingup", 50, 1e-10),
+    ("cartpole", "balance_sparse", 50, 1e-10),
+    ("acrobot", "swingup", 50, 1e-10),
+    ("point_mass", "easy", 50, 1e-10),
+    ("reacher", "easy", 50, 1e-10),
+    ("reacher", "hard", 50, 1e-10),
+    ("ball_in_cup", "catch", 50, 1e-10),
+    ("hopper", "stand", 30, 1e-6),
+]
+
+
+@pytest.mark.parametrize("domain,task,n_steps,tol", EXACT,
+                         ids=[f"{d}:{t}" for d, t, *_ in EXACT])
+def test_episode_parity(domain, task, n_steps, tol):
+    seed = 42
+    env_r = ref_suite.load(domain, task, task_kwargs={"random": seed})
+    env_t = tpu_suite.load(domain, task, task_kwargs={"random": seed})
+    ts_r = env_r.reset()
+    ts_t = env_t.reset()
+    for k in ts_r.observation:
+        np.testing.assert_allclose(
+            np.asarray(ts_t.observation[k]), np.asarray(ts_r.observation[k]),
+            atol=tol, err_msg=f"reset obs {k}")
+    rng = np.random.RandomState(0)
+    spec = env_r.action_spec()
+    for i in range(n_steps):
+        act = rng.uniform(np.maximum(spec.minimum, -1),
+                          np.minimum(spec.maximum, 1))
+        tr = env_r.step(act)
+        tt = env_t.step(act)
+        assert tr.step_type == tt.step_type
+        assert abs(tr.reward - tt.reward) < max(tol, 1e-9), f"step {i}"
+        for k in tr.observation:
+            np.testing.assert_allclose(
+                np.asarray(tt.observation[k]), np.asarray(tr.observation[k]),
+                atol=max(tol, 1e-8), err_msg=f"step {i} obs {k}")
+
+
+def test_registry_tags():
+    assert len(tpu_suite.BENCHMARKING) >= 19
+    assert ("cartpole", "swingup") in tpu_suite.BENCHMARKING
+    assert ("cartpole", "two_poles") in tpu_suite.EXTRA
+
+
+def test_action_spec_matches_reference():
+    for domain, task in [("cartpole", "swingup"), ("cheetah", "run"),
+                         ("walker", "walk")]:
+        env_r = ref_suite.load(domain, task)
+        env_t = tpu_suite.load(domain, task)
+        sr, st = env_r.action_spec(), env_t.action_spec()
+        assert sr.shape == st.shape
+        np.testing.assert_allclose(st.minimum, sr.minimum)
+        np.testing.assert_allclose(st.maximum, sr.maximum)
+
+
+def test_determinism_same_seed():
+    """Two environments with the same seed produce identical trajectories
+    (reference contract: suite/suite_test.py:170-199)."""
+    rng = np.random.RandomState(1)
+    acts = [rng.uniform(-1, 1, 1) for _ in range(20)]
+
+    def rollout():
+        env = tpu_suite.load("pendulum", "swingup",
+                             task_kwargs={"random": 7})
+        env.reset()
+        traj = []
+        for a in acts:
+            ts = env.step(a)
+            traj.append(np.concatenate(
+                [np.asarray(v).ravel() for v in ts.observation.values()]))
+        return np.stack(traj)
+
+    t1, t2 = rollout(), rollout()
+    np.testing.assert_array_equal(t1, t2)
+
+
+def test_different_seed_differs():
+    def reset_obs(seed):
+        env = tpu_suite.load("pendulum", "swingup",
+                             task_kwargs={"random": seed})
+        ts = env.reset()
+        return np.asarray(ts.observation["orientation"])
+
+    assert not np.allclose(reset_obs(1), reset_obs(2))
