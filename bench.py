@@ -1,0 +1,81 @@
+"""Throughput benchmark: env-steps/s of the batched physics engine.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "env-steps/s", "vs_baseline": N}
+
+vs_baseline is the fraction of the 1M aggregate env-steps/s target
+(BASELINE.md; the reference publishes no in-repo numbers — its only env
+parallelism is 8 worker processes over pipes, scripts/vec_env.py).
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_env(domain, task, batch, n_steps, dtype=jnp.float32):
+    import dm_control_tpu.suite as suite
+
+    env = suite.load_batch(domain, task, dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    state, ts = env.reset(jax.random.split(key, batch))
+    nu = env.model.nu
+    acts = jnp.zeros((batch, nu), dtype)
+
+    def run(state, n):
+        def body(s, _):
+            s, _ts = env.step(s, acts)
+            return s, None
+
+        state, _ = jax.lax.scan(body, state, None, length=n)
+        return state
+
+    run_j = jax.jit(run, static_argnums=1)
+    # warmup with the SAME static n (different n = different executable),
+    # and synchronize with a host readback — through the remote-TPU tunnel
+    # block_until_ready can return before execution completes.
+    state = run_j(state, n_steps)
+    _ = float(state.data.qpos[0, 0])
+    t0 = time.perf_counter()
+    state = run_j(state, n_steps)
+    _ = float(state.data.qpos[0, 0])
+    dt = time.perf_counter() - t0
+    control_steps = batch * n_steps
+    physics_steps = control_steps * env.n_sub_steps
+    return control_steps / dt, physics_steps / dt
+
+
+def main():
+    results = {}
+    try:
+        cart_env, cart_phys = bench_env("cartpole", "swingup", 8192, 128)
+        results["cartpole_env_steps_per_s"] = round(cart_env)
+    except Exception as e:  # pragma: no cover
+        results["cartpole_error"] = repr(e)[:120]
+        cart_env = 0.0
+    # humanoid is gated until the vectorized collision/constraint rework
+    # lands (its current unrolled graph compiles too slowly on-device)
+    if os.environ.get("BENCH_HUMANOID"):
+        try:
+            hum_env, hum_phys = bench_env("humanoid", "run", 512, 16)
+            results["humanoid_env_steps_per_s"] = round(hum_env)
+            results["humanoid_physics_steps_per_s"] = round(hum_phys)
+        except Exception as e:  # pragma: no cover
+            results["humanoid_error"] = repr(e)[:120]
+
+    value = round(cart_env)
+    print(json.dumps({
+        "metric": "aggregate env-steps/s, cartpole:swingup batch 8192, "
+                  "1 chip",
+        "value": value,
+        "unit": "env-steps/s",
+        "vs_baseline": round(value / 1_000_000, 3),
+        **results,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -119,7 +119,10 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
             step = d1 / jnp.maximum(d2, 1e-15)
             return alpha - step
 
-        alpha = jax.lax.fori_loop(0, m.opt.ls_iterations, ls_body,
+        # Newton on the piecewise-quadratic φ converges to fp precision in
+        # well under 12 iterations; MuJoCo's default ls_iterations=50 would
+        # only add dead kernels to the unrolled graph.
+        alpha = jax.lax.fori_loop(0, min(m.opt.ls_iterations, 12), ls_body,
                                   jnp.asarray(1.0, dtype))
         alpha = jnp.clip(alpha, 0.0, 4.0)
         x_new = x + alpha * p

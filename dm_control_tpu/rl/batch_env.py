@@ -1,0 +1,190 @@
+"""Batched environment runtime: thousands of envs in lockstep under one jit.
+
+This replaces the reference's process-per-env ``SubprocVecEnv``
+(dm_control/scripts/vec_env.py:396-532, pipes + cloudpickle) with the
+TPU-native design: the env batch is a single ``EnvState`` pytree with a
+leading env axis, stepped by ``vmap``-ed pure functions; auto-reset and
+divergence handling are per-env masks, not control flow; the batch can be
+sharded over a device mesh (see ``dm_control_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dm_control_tpu.physics import engine
+from dm_control_tpu.physics.model import Model, make_data
+from dm_control_tpu.rl.control import (
+    FIRST, LAST, MID, EnvState, RandomContext, Task, TimeStepData,
+    apply_model_diff, compute_n_steps,
+)
+
+
+class BatchEnv:
+    """Vectorized, jit-compiled environment.
+
+    Pure-functional API (state in, state out):
+
+        env = BatchEnv(model, task, time_limit=..., control_timestep=...)
+        state, ts = env.reset(jax.random.split(key, batch))   # batched
+        state, ts = env.step(state, actions)                  # batched
+
+    ``step`` auto-resets environments whose previous step was LAST (or that
+    diverged), re-randomizing their episode via the per-env PRNG stream —
+    the batched analogue of dm_env's reset-on-next-step convention
+    (dm_control/rl/control.py:94-123).
+    """
+
+    def __init__(self, model: Model, task: Task,
+                 time_limit: float = float("inf"),
+                 control_timestep: Optional[float] = None,
+                 autoreset: bool = True,
+                 dtype=None):
+        self.model = model
+        self.task = task
+        self.autoreset = autoreset
+        physics_timestep = float(jnp.asarray(model.opt.timestep))
+        control_timestep = control_timestep or physics_timestep
+        # tolerance accommodates float32-compiled models (the dm_env
+        # adapter keeps the reference's strict 1e-8 with f64 models)
+        self.n_sub_steps = compute_n_steps(control_timestep,
+                                           physics_timestep, tolerance=1e-4)
+        if time_limit == float("inf"):
+            self.step_limit = jnp.iinfo(jnp.int32).max
+        else:
+            self.step_limit = int(round(time_limit / control_timestep))
+        self._dtype = dtype
+
+        self.reset = jax.jit(jax.vmap(self._reset_one))
+        self.step = jax.jit(jax.vmap(self._step_one))
+
+    # -- single-env pure functions (vmapped above) --------------------------
+
+    def _init_state(self, rng) -> EnvState:
+        m = self.model
+        task = self.task
+        rng, key = jax.random.split(rng)
+        d = make_data(m, self._dtype)
+        diff = task.initial_model_diff(m)
+        rc = RandomContext(key=key)
+        qpos, qvel, diff = task.init(m, d.qpos, jnp.zeros_like(d.qvel), rc,
+                                     diff)
+        d = d.replace(qpos=qpos, qvel=qvel)
+
+        if task.max_reset_rejections:
+            def cond(carry):
+                k, dd, n = carry
+                return task.reject(apply_model_diff(m, diff), dd) \
+                    & (n < task.max_reset_rejections)
+
+            def body(carry):
+                k, dd, n = carry
+                k, sub = jax.random.split(k)
+                rc2 = RandomContext(key=sub)
+                qp, qv, _ = task.init(m, jnp.asarray(m.qpos0),
+                                      jnp.zeros_like(dd.qvel), rc2, diff)
+                return k, dd.replace(qpos=qp, qvel=qv), n + 1
+
+            rng, dd, _ = jax.lax.while_loop(
+                cond, body, (rng, d, jnp.asarray(0, jnp.int32)))
+            d = dd
+
+        mm = apply_model_diff(m, diff)
+        if task.settle_steps:
+            d = jax.lax.fori_loop(0, task.settle_steps,
+                                  lambda i, dd: engine.step(mm, dd), d)
+            d = d.replace(time=jnp.zeros_like(d.time))
+        return EnvState(data=d, model_diff=diff, rng=rng,
+                        step_count=jnp.asarray(0, jnp.int32),
+                        needs_reset=jnp.asarray(False))
+
+    def _observe(self, state: EnvState):
+        from dm_control_tpu.physics import sensors as sens
+
+        m = apply_model_diff(self.model, state.model_diff)
+        d = state.data
+        d = engine.fwd_position(m, d)
+        d = sens.sensor_pos(m, d)
+        d = engine.fwd_velocity(m, d)
+        d = sens.sensor_vel(m, d)
+        d = sens.sensor_acc(m, d)
+        return state.replace(data=d), self.task.observation(m, d)
+
+    def _reset_one(self, rng):
+        state = self._init_state(rng)
+        state, obs = self._observe(state)
+        dtype = state.data.qpos.dtype
+        ts = TimeStepData(
+            step_type=jnp.asarray(FIRST, jnp.int32),
+            reward=jnp.asarray(0.0, dtype),
+            discount=jnp.asarray(1.0, dtype),
+            observation=obs)
+        return state, ts
+
+    def _plain_step(self, state: EnvState, action):
+        m = apply_model_diff(self.model, state.model_diff)
+        task = self.task
+        d = task.before_step(m, state.data, action)
+        d = jax.lax.fori_loop(0, self.n_sub_steps,
+                              lambda i, dd: engine.step(m, dd), d) \
+            if self.n_sub_steps > 1 else engine.step(m, d)
+        state = state.replace(data=d,
+                              step_count=state.step_count + 1)
+        state, obs = self._observe(state)
+        d = state.data
+        reward = task.reward(m, d)
+        terminate, term_discount = task.termination(m, d)
+        diverged = engine.check_divergence(m, d)
+        # divergence absorbs into termination with discount 0 (the batched
+        # analogue of composer's raise_exception_on_physics_error=False,
+        # dm_control/composer/environment.py:358-391)
+        timeout = state.step_count >= self.step_limit
+        last = terminate | diverged | timeout
+        dtype = reward.dtype if hasattr(reward, "dtype") else d.qpos.dtype
+        discount = jnp.where(
+            diverged, jnp.zeros((), dtype),
+            jnp.where(terminate, jnp.asarray(term_discount, dtype),
+                      jnp.ones((), dtype)))
+        reward = jnp.where(diverged, jnp.zeros((), dtype),
+                           jnp.asarray(reward, dtype))
+        ts = TimeStepData(
+            step_type=jnp.where(last, LAST, MID).astype(jnp.int32),
+            reward=reward, discount=discount, observation=obs)
+        return state.replace(needs_reset=last), ts
+
+    def _step_one(self, state: EnvState, action):
+        if not self.autoreset:
+            return self._plain_step(state, action)
+
+        def do_reset(_):
+            rng, sub = jax.random.split(state.rng)
+            new_state, ts = self._reset_one(sub)
+            return new_state.replace(rng=rng), ts
+
+        def do_step(_):
+            return self._plain_step(state, action)
+
+        return jax.lax.cond(state.needs_reset, do_reset, do_step, None)
+
+
+def rollout(env: BatchEnv, policy_fn, rng, batch_size: int, n_steps: int):
+    """Rolls out ``n_steps`` with ``action = policy_fn(key, obs)``; returns
+    (final_state, per-env summed reward).  Utility for tests/benchmarks."""
+    keys = jax.random.split(rng, batch_size)
+    state, ts = env.reset(keys)
+
+    def body(carry, _):
+        state, obs, total, key = carry
+        key, sub = jax.random.split(key)
+        action = policy_fn(sub, obs)
+        state, ts2 = env.step(state, action)
+        return (state, ts2.observation, total + ts2.reward, key), None
+
+    total0 = jnp.zeros((batch_size,), state.data.qpos.dtype)
+    (state, _, total, _), _ = jax.lax.scan(
+        body, (state, ts.observation, total0, rng), None, length=n_steps)
+    return state, total

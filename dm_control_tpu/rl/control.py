@@ -164,8 +164,12 @@ class Environment(dm_env.Environment):
         if control_timestep is None:
             control_timestep = self._physics_timestep
         self._control_timestep = control_timestep
+        # float32-compiled models round timesteps; widen the divisibility
+        # tolerance accordingly (f64 keeps the reference's strict 1e-8)
+        tol = 1e-8 if model.qpos0.dtype == jnp.float64 else 1e-4
         self._n_sub_steps = compute_n_steps(control_timestep,
-                                            self._physics_timestep)
+                                            self._physics_timestep,
+                                            tolerance=tol)
         self._time_limit = time_limit
         if time_limit == float("inf"):
             self._step_limit = float("inf")

@@ -17,6 +17,7 @@ from dm_control_tpu.suite import ball_in_cup
 from dm_control_tpu.suite import cartpole
 from dm_control_tpu.suite import cheetah
 from dm_control_tpu.suite import hopper
+from dm_control_tpu.suite import humanoid
 from dm_control_tpu.suite import pendulum
 from dm_control_tpu.suite import point_mass
 from dm_control_tpu.suite import reacher
@@ -64,6 +65,20 @@ def load(domain_name, task_name, task_kwargs=None, environment_kwargs=None,
     del visualize_reward  # rendering is off-path in this framework
     return build_environment(domain_name, task_name, task_kwargs,
                              environment_kwargs)
+
+
+def load_batch(domain_name, task_name, task_kwargs=None, autoreset=True,
+               dtype=None):
+    """Returns a ``BatchEnv`` (vmapped, jit-compiled, shardable) for a
+    suite task — the TPU-native replacement for wrapping ``load`` results
+    in SubprocVecEnv (reference scripts/vec_env.py)."""
+    from dm_control_tpu.rl.batch_env import BatchEnv
+
+    env = build_environment(domain_name, task_name, task_kwargs)
+    return BatchEnv(env._model, env._task,
+                    time_limit=env._time_limit,
+                    control_timestep=env._control_timestep,
+                    autoreset=autoreset, dtype=dtype)
 
 
 def build_environment(domain_name, task_name, task_kwargs=None,
