@@ -956,6 +956,16 @@ class _Compiler:
                 anc[i, j] = 1.0
                 j = dofs[j]["parentid"]
 
+        # body chain mask: dofs affecting each body
+        chain = np.zeros((nb, nvv))
+        for b in range(nb):
+            bb = b
+            while bb != 0:
+                adr, num = bodies[bb]["dofadr"], bodies[bb]["dofnum"]
+                if num > 0:
+                    chain[b, adr:adr + num] = 1.0
+                bb = bodies[bb]["parentid"]
+
         # geom rbound
         rbound = []
         for g in geoms:
@@ -1158,6 +1168,7 @@ class _Compiler:
             body_tree_levels=tuple(levels),
             collision_pairs=self._collision_pairs(),
             dof_ancestor_mask=f(anc),
+            body_chain_mask=f(chain),
             names=names,
         )
         return m

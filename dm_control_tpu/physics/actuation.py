@@ -20,6 +20,27 @@ def transmission(m: Model, d: Data) -> Data:
     if m.nu == 0:
         return d
     dtype = d.qpos.dtype
+
+    # fast path: every actuator drives a scalar joint (all suite domains
+    # except tendon-driven ones) — one gather + one scatter
+    import numpy as np
+
+    all_scalar = all(
+        m.actuator_trntype[u] in (int(TrnType.JOINT),
+                                  int(TrnType.JOINTINPARENT))
+        and m.jnt_type[m.actuator_trnid[u][0]] in (int(JointType.SLIDE),
+                                                   int(JointType.HINGE))
+        for u in range(m.nu))
+    if all_scalar:
+        jids = np.array([m.actuator_trnid[u][0] for u in range(m.nu)])
+        qadr = np.array([m.jnt_qposadr[j] for j in jids])
+        dadr = np.array([m.jnt_dofadr[j] for j in jids])
+        gear0 = m.actuator_gear[:, 0]
+        lengths = gear0 * d.qpos[qadr]
+        moment = jnp.zeros((m.nu, m.nv), dtype).at[
+            jnp.arange(m.nu), jnp.asarray(dadr)].set(gear0)
+        return d.replace(actuator_length=lengths, actuator_moment=moment)
+
     lengths = []
     moments = []
     for u in range(m.nu):

@@ -1,22 +1,24 @@
-"""Soft-constraint row assembly (mj_makeConstraint analogue).
+"""Soft-constraint row assembly (mj_makeConstraint analogue), vectorized.
 
 Builds the efc system for the solver: equality constraints, dof friction
 loss, joint/tendon limits, and contact rows (pyramidal friction cones).
-Row structure (kinds, counts) is static per model; activity is decided by
-the solver from jar = J qacc - aref, so inactive rows are carried at zero
-cost instead of changing array shapes.
+Row structure (kinds, counts) is static per model; limit and contact blocks
+are assembled as batched array ops (one impedance/aref evaluation over all
+rows), so the traced graph size is independent of the number of contacts.
 
 MuJoCo's soft-constraint model: each row has impedance d(pos) from solimp,
 reference acceleration aref from solref, and regularization
-R = (1 - d)/d * diagApprox, D = 1/R.
+R = (1 - d)/d * diagApprox, D = 1/R.  Rows MuJoCo would not instantiate
+(dist >= margin) are carried with D = 0.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dm_control_tpu.physics import kinematics as kin
 from dm_control_tpu.physics.model import (
@@ -45,8 +47,10 @@ class Efc:
     pos: jax.Array  # (nefc,) effective violation (dist - margin)
     floss: jax.Array  # (nefc,) friction loss bound (frictionloss rows)
     kind: Tuple[int, ...] = static_field(default=())
-    # (contact_index, first_row, n_rows) per contact, for force recovery
-    contact_spans: Tuple[Tuple[int, int, int], ...] = static_field(default=())
+    # per condim-group: (contact_indices, first_row, rows_per_contact) —
+    # contact normal forces are recovered group-wise (vectorized)
+    contact_spans: Tuple[Tuple[Tuple[int, ...], int, int], ...] = \
+        static_field(default=())
 
     @property
     def nefc(self) -> int:
@@ -78,7 +82,7 @@ def kbi(m: Model, solref, solimp, pos):
     k_std = imp / jnp.maximum((dmax * timeconst * dampratio) ** 2, _MINVAL)
     b_std = 2.0 / jnp.maximum(dmax * timeconst, _MINVAL)
     # direct (non-positive solref): stiffness/damping given literally
-    k_dir = -solref[..., 0] * imp  # scaled by impedance
+    k_dir = -solref[..., 0] * imp
     b_dir = -solref[..., 1]
     direct = solref[..., 0] <= 0
     k = jnp.where(direct, k_dir, k_std)
@@ -86,56 +90,90 @@ def kbi(m: Model, solref, solimp, pos):
     return k, b, imp
 
 
-def _row(m, J, pos, solref, solimp, diag_approx, kind, vel, floss=0.0,
-         active=True):
-    """One efc row.  ``active`` replicates MuJoCo's *inclusion* rule (rows
-    are only instantiated when violated/within margin): inactive rows stay
-    in the static arrays with D = 0, contributing nothing to the solver."""
-    k, b, imp = kbi(m, solref, solimp, pos)
-    aref = -b * vel - k * pos
-    r = jnp.maximum(_MINVAL, (1.0 - imp) / imp * diag_approx)
-    dvec = 1.0 / r
-    if active is not True:
-        dvec = jnp.where(active, dvec, 0.0)
-    return dict(J=J, D=dvec, R=r, aref=aref, pos=pos, kind=kind,
-                floss=jnp.asarray(floss, J.dtype))
+class _Blocks:
+    """Accumulates constraint row blocks as arrays."""
+
+    def __init__(self, m: Model, dtype):
+        self.m = m
+        self.dtype = dtype
+        self.J: List = []
+        self.pos: List = []
+        self.solref: List = []
+        self.solimp: List = []
+        self.diag: List = []
+        self.vel: List = []
+        self.floss: List = []
+        self.active: List = []
+        self.kinds: List[int] = []
+
+    def add(self, J, pos, solref, solimp, diag, vel, kind, floss=None,
+            active=None):
+        """Adds a block of rows.  All args are arrays with leading dim R
+        (or broadcastable); ``kind`` is a single static int for the block."""
+        J = jnp.atleast_2d(J)
+        r = J.shape[0]
+        self.J.append(J)
+        self.pos.append(jnp.broadcast_to(jnp.asarray(pos, self.dtype), (r,)))
+        self.solref.append(jnp.broadcast_to(solref, (r, 2)))
+        self.solimp.append(jnp.broadcast_to(solimp, (r, 5)))
+        self.diag.append(jnp.broadcast_to(jnp.asarray(diag, self.dtype),
+                                          (r,)))
+        self.vel.append(jnp.broadcast_to(jnp.asarray(vel, self.dtype), (r,)))
+        fl = jnp.zeros((r,), self.dtype) if floss is None else \
+            jnp.broadcast_to(jnp.asarray(floss, self.dtype), (r,))
+        self.floss.append(fl)
+        act = jnp.ones((r,), bool) if active is None else \
+            jnp.broadcast_to(jnp.asarray(active, bool), (r,))
+        self.active.append(act)
+        self.kinds.extend([kind] * r)
+
+    def build(self, contact_spans) -> Efc:
+        m, dtype = self.m, self.dtype
+        if not self.kinds:
+            z = jnp.zeros((0,), dtype)
+            return Efc(J=jnp.zeros((0, m.nv), dtype), D=z, R=z, aref=z,
+                       pos=z, floss=z, kind=(), contact_spans=())
+        J = jnp.concatenate(self.J)
+        pos = jnp.concatenate(self.pos)
+        solref = jnp.concatenate(self.solref)
+        solimp = jnp.concatenate(self.solimp)
+        diag = jnp.concatenate(self.diag)
+        vel = jnp.concatenate(self.vel)
+        floss = jnp.concatenate(self.floss)
+        active = jnp.concatenate(self.active)
+        k, b, imp = kbi(m, solref, solimp, pos)
+        aref = -b * vel - k * pos
+        r_reg = jnp.maximum(_MINVAL, (1.0 - imp) / imp * diag)
+        d_vec = jnp.where(active, 1.0 / r_reg, 0.0)
+        return Efc(J=J, D=d_vec, R=r_reg, aref=aref, pos=pos, floss=floss,
+                   kind=tuple(self.kinds), contact_spans=contact_spans)
 
 
 def make_constraint(m: Model, d: Data) -> Efc:
     dtype = d.qpos.dtype
-    rows = []
+    blocks = _Blocks(m, dtype)
     dis = m.opt.disableflags
+    contact_spans: Tuple = ()
     if not (dis & DisableBit.CONSTRAINT):
         if not (dis & DisableBit.EQUALITY):
-            rows += _equality_rows(m, d)
+            _equality_rows(m, d, blocks)
         if not (dis & DisableBit.FRICTIONLOSS):
-            rows += _frictionloss_rows(m, d)
+            _frictionloss_rows(m, d, blocks)
         if not (dis & DisableBit.LIMIT):
-            rows += _limit_rows(m, d)
-    contact_spans = []
-    if not (dis & DisableBit.CONSTRAINT) and not (dis & DisableBit.CONTACT):
-        crows, contact_spans = _contact_rows(m, d, offset=len(rows))
-        rows += crows
-
-    if not rows:
-        z = jnp.zeros((0,), dtype)
-        return Efc(J=jnp.zeros((0, m.nv), dtype), D=z, R=z, aref=z, pos=z,
-                   floss=z, kind=(), contact_spans=())
-
-    return Efc(
-        J=jnp.stack([r["J"] for r in rows]),
-        D=jnp.stack([r["D"] for r in rows]),
-        R=jnp.stack([r["R"] for r in rows]),
-        aref=jnp.stack([r["aref"] for r in rows]),
-        pos=jnp.stack([r["pos"] for r in rows]),
-        floss=jnp.stack([r["floss"] for r in rows]),
-        kind=tuple(r["kind"] for r in rows),
-        contact_spans=tuple(contact_spans),
-    )
+            _limit_rows(m, d, blocks)
+        if not (dis & DisableBit.CONTACT):
+            contact_spans = _contact_rows(m, d, blocks)
+    return blocks.build(contact_spans)
 
 
-def _equality_rows(m: Model, d: Data):
-    rows = []
+# ---------------------------------------------------------------------------
+# Equality (few rows; per-constraint construction).
+# ---------------------------------------------------------------------------
+
+
+def _equality_rows(m: Model, d: Data, blocks: _Blocks):
+    from dm_control_tpu.physics import mathx as mx
+
     for e in range(m.neq):
         etype = EqType(m.eq_type[e])
         solref, solimp = m.eq_solref[e], m.eq_solimp[e]
@@ -143,32 +181,20 @@ def _equality_rows(m: Model, d: Data):
             b1, b2 = m.eq_obj1id[e], m.eq_obj2id[e]
             anchor = m.eq_data[e, :3]
             p1 = d.xpos[b1] + d.xmat[b1] @ anchor
-            # anchor expressed in body2's frame at model config: MuJoCo
-            # stores the body2-local anchor in data[3:6] (computed by the
-            # compiler); our compiler leaves it to runtime:
-            p2_local = m.eq_data[e, 3:6]
-            p2 = d.xpos[b2] + d.xmat[b2] @ p2_local
-            jac1p, _ = kin.jac(m, d, p1, b1)
-            jac2p, _ = kin.jac(m, d, p2, b2)
+            p2 = d.xpos[b2] + d.xmat[b2] @ m.eq_data[e, 3:6]
+            (jac1p, _), (jac2p, _) = (kin.jac(m, d, p1, b1),
+                                      kin.jac(m, d, p2, b2))
             jdiff = jac1p - jac2p
             pos3 = p1 - p2
-            vel3 = jdiff @ d.qvel
-            inv = (m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0])
-            # impedance uses the norm of the 3D violation
-            posnorm = jnp.linalg.norm(pos3)
-            for k in range(3):
-                rows.append(_row(m, jdiff[k], pos3[k], solref, solimp,
-                                 inv, EQUALITY, vel3[k]))
-                # note: MuJoCo uses per-row pos for aref but norm-based
-                # impedance; we approximate with per-row pos (close for
-                # small violations)
+            inv = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
+            blocks.add(jdiff, pos3, solref, solimp, inv, jdiff @ d.qvel,
+                       EQUALITY)
         elif etype == EqType.JOINT:
-            j1 = m.eq_obj1id[e]
-            j2 = m.eq_obj2id[e]
+            j1, j2 = m.eq_obj1id[e], m.eq_obj2id[e]
             poly = m.eq_data[e, :5]
             a1, d1 = m.jnt_qposadr[j1], m.jnt_dofadr[j1]
             q1 = d.qpos[a1] - m.qpos0[a1]
-            J = jnp.zeros(m.nv, d.qpos.dtype).at[d1].set(1.0)
+            J = jnp.zeros(m.nv, blocks.dtype).at[d1].set(1.0)
             if j2 >= 0:
                 a2, d2adr = m.jnt_qposadr[j2], m.jnt_dofadr[j2]
                 q2 = d.qpos[a2] - m.qpos0[a2]
@@ -178,15 +204,14 @@ def _equality_rows(m: Model, d: Data):
                        + poly[3] * q2 ** 3 + poly[4] * q2 ** 4)
                 J = J.at[d2adr].set(-dpoly)
                 pos = q1 - val
-                inv = (m.dof_invweight0[d1] + m.dof_invweight0[d2adr])
+                inv = m.dof_invweight0[d1] + m.dof_invweight0[d2adr]
             else:
                 pos = q1 - poly[0]
                 inv = m.dof_invweight0[d1]
-            vel = J @ d.qvel
-            rows.append(_row(m, J, pos, solref, solimp, inv, EQUALITY, vel))
+            blocks.add(J[None], pos, solref, solimp, inv, J @ d.qvel,
+                       EQUALITY)
         elif etype == EqType.TENDON:
-            t1 = m.eq_obj1id[e]
-            t2 = m.eq_obj2id[e]
+            t1, t2 = m.eq_obj1id[e], m.eq_obj2id[e]
             poly = m.eq_data[e, :5]
             l1 = d.ten_length[t1] - m.tendon_length0[t1]
             J = d.ten_moment[t1]
@@ -202,148 +227,175 @@ def _equality_rows(m: Model, d: Data):
             else:
                 pos = l1 - poly[0]
                 inv = m.tendon_invweight0[t1]
-            vel = J @ d.qvel
-            rows.append(_row(m, J, pos, solref, solimp, inv, EQUALITY, vel))
+            blocks.add(J[None], pos, solref, solimp, inv, J @ d.qvel,
+                       EQUALITY)
         elif etype == EqType.WELD:
             b1, b2 = m.eq_obj1id[e], m.eq_obj2id[e]
             anchor = m.eq_data[e, :3]
             relpose = m.eq_data[e, 3:10]
             torquescale = m.eq_data[e, 10]
             p1 = d.xpos[b1] + d.xmat[b1] @ anchor
-            p2 = d.xpos[b2] + d.xmat[b2] @ anchor  # simplified
+            p2 = d.xpos[b2] + d.xmat[b2] @ anchor
             jac1p, jac1r = kin.jac(m, d, p1, b1)
             jac2p, jac2r = kin.jac(m, d, p2, b2)
             jdiffp = jac1p - jac2p
             jdiffr = (jac1r - jac2r) * torquescale
-            pos3 = p1 - p2
-            from dm_control_tpu.physics import mathx as mx
-
             q1 = d.xquat[b1]
             q2 = mx.quat_mul(d.xquat[b2], relpose[3:7])
             rot3 = mx.quat_sub(q1, q2) * torquescale
             inv_t = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
             inv_r = m.body_invweight0[b1, 1] + m.body_invweight0[b2, 1]
-            velp = jdiffp @ d.qvel
-            velr = jdiffr @ d.qvel
-            for k in range(3):
-                rows.append(_row(m, jdiffp[k], pos3[k], solref, solimp,
-                                 inv_t, EQUALITY, velp[k]))
-            for k in range(3):
-                rows.append(_row(m, jdiffr[k], rot3[k], solref, solimp,
-                                 inv_r, EQUALITY, velr[k]))
+            blocks.add(jdiffp, p1 - p2, solref, solimp, inv_t,
+                       jdiffp @ d.qvel, EQUALITY)
+            blocks.add(jdiffr, rot3, solref, solimp, inv_r,
+                       jdiffr @ d.qvel, EQUALITY)
         else:
             raise NotImplementedError(f"equality {etype}")
-    return rows
 
 
-def _frictionloss_rows(m: Model, d: Data):
-    rows = []
-    import numpy as np
+# ---------------------------------------------------------------------------
+# Friction loss (vectorized over dofs with frictionloss > 0).
+# ---------------------------------------------------------------------------
 
+
+def _frictionloss_rows(m: Model, d: Data, blocks: _Blocks):
     floss = np.asarray(m.dof_frictionloss)
-    for v in range(m.nv):
-        if floss[v] <= 0:
-            continue
-        J = jnp.zeros(m.nv, d.qpos.dtype).at[v].set(1.0)
-        zero = jnp.zeros((), d.qpos.dtype)
-        r = _row(m, J, zero, m.dof_solref[v], m.dof_solimp[v],
-                 m.dof_invweight0[v], FRICTIONLOSS, d.qvel[v],
-                 floss=m.dof_frictionloss[v])
-        rows.append(r)
-    return rows
+    idx = np.nonzero(floss > 0)[0]
+    if idx.size == 0:
+        return
+    J = jnp.zeros((idx.size, m.nv), blocks.dtype)
+    J = J.at[jnp.arange(idx.size), jnp.asarray(idx)].set(1.0)
+    blocks.add(J, jnp.zeros(idx.size, blocks.dtype),
+               m.dof_solref[idx], m.dof_solimp[idx],
+               m.dof_invweight0[idx], d.qvel[idx], FRICTIONLOSS,
+               floss=m.dof_frictionloss[idx])
 
 
-def _limit_rows(m: Model, d: Data):
-    rows = []
+# ---------------------------------------------------------------------------
+# Limits (vectorized over limited scalar joints; ball/tendon per-item).
+# ---------------------------------------------------------------------------
+
+
+def _limit_rows(m: Model, d: Data, blocks: _Blocks):
+    from dm_control_tpu.physics import mathx as mx
+
+    scalar = [j for j in range(m.njnt)
+              if m.jnt_limited[j]
+              and m.jnt_type[j] in (int(JointType.HINGE),
+                                    int(JointType.SLIDE))]
+    if scalar:
+        qadr = np.array([m.jnt_qposadr[j] for j in scalar])
+        dadr = np.array([m.jnt_dofadr[j] for j in scalar])
+        L = len(scalar)
+        q = d.qpos[qadr]  # (L,)
+        qd = d.qvel[dadr]
+        jr = m.jnt_range[np.array(scalar)]
+        margin = m.jnt_margin[np.array(scalar)]
+        # two rows per joint: lower (sign +1), upper (sign -1)
+        dist = jnp.stack([q - jr[:, 0], jr[:, 1] - q], 1).reshape(-1)
+        signs = jnp.tile(jnp.array([1.0, -1.0], blocks.dtype), L)
+        rows = jnp.arange(2 * L)
+        cols = jnp.asarray(np.repeat(dadr, 2))
+        J = jnp.zeros((2 * L, m.nv), blocks.dtype).at[rows, cols].set(signs)
+        pos = dist - jnp.repeat(margin, 2)
+        vel = jnp.repeat(qd, 2) * signs
+        rep2 = lambda x: jnp.repeat(x, 2, axis=0)
+        blocks.add(J, pos, rep2(m.jnt_solref[np.array(scalar)]),
+                   rep2(m.jnt_solimp[np.array(scalar)]),
+                   jnp.repeat(m.dof_invweight0[dadr], 2), vel, LIMIT,
+                   active=pos < 0)
+
     for j in range(m.njnt):
-        if not m.jnt_limited[j]:
+        if not m.jnt_limited[j] or m.jnt_type[j] != int(JointType.BALL):
             continue
-        jtype = JointType(m.jnt_type[j])
         qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
-        margin = m.jnt_margin[j]
-        if jtype in (JointType.HINGE, JointType.SLIDE):
-            q = d.qpos[qadr]
-            for side, sign in ((0, 1.0), (1, -1.0)):
-                dist = sign * (q - m.jnt_range[j, side])
-                J = jnp.zeros(m.nv, d.qpos.dtype).at[dadr].set(sign)
-                pos = dist - margin
-                vel = sign * d.qvel[dadr]
-                rows.append(_row(m, J, pos, m.jnt_solref[j], m.jnt_solimp[j],
-                                 m.dof_invweight0[dadr], LIMIT, vel,
-                                 active=pos < 0))
-        elif jtype == JointType.BALL:
-            # limit on total rotation angle (axis-angle norm)
-            from dm_control_tpu.physics import mathx as mx
+        rotvec = mx.quat_to_axis_angle(d.qpos[qadr:qadr + 4])
+        angle = jnp.linalg.norm(rotvec)
+        axis = rotvec / jnp.maximum(angle, _MINVAL)
+        maxang = jnp.maximum(m.jnt_range[j, 0], m.jnt_range[j, 1])
+        dist = maxang - angle
+        J = jnp.zeros(m.nv, blocks.dtype).at[dadr:dadr + 3].set(-axis)
+        pos = dist - m.jnt_margin[j]
+        blocks.add(J[None], pos, m.jnt_solref[j], m.jnt_solimp[j],
+                   m.dof_invweight0[dadr], J @ d.qvel, LIMIT,
+                   active=pos < 0)
 
-            rotvec = mx.quat_to_axis_angle(d.qpos[qadr:qadr + 4])
-            angle = jnp.linalg.norm(rotvec)
-            axis = rotvec / jnp.maximum(angle, _MINVAL)
-            maxang = jnp.maximum(m.jnt_range[j, 0], m.jnt_range[j, 1])
-            dist = maxang - angle
-            J = jnp.zeros(m.nv, d.qpos.dtype).at[dadr:dadr + 3].set(-axis)
-            vel = J @ d.qvel
-            rows.append(_row(m, J, dist - margin, m.jnt_solref[j],
-                             m.jnt_solimp[j],
-                             m.dof_invweight0[dadr], LIMIT, vel,
-                             active=dist - margin < 0))
     for t in range(m.ntendon):
         if not m.tendon_limited[t]:
             continue
-        margin = m.tendon_margin[t]
         ln = d.ten_length[t]
-        J_base = d.ten_moment[t]
         for side, sign in ((0, 1.0), (1, -1.0)):
             dist = sign * (ln - m.tendon_range[t, side])
-            J = sign * J_base
-            vel = J @ d.qvel
-            rows.append(_row(m, J, dist - margin, m.tendon_solref_lim[t],
-                             m.tendon_solimp_lim[t],
-                             m.tendon_invweight0[t], LIMIT, vel,
-                             active=dist - margin < 0))
-    return rows
+            J = sign * d.ten_moment[t]
+            pos = dist - m.tendon_margin[t]
+            blocks.add(J[None], pos, m.tendon_solref_lim[t],
+                       m.tendon_solimp_lim[t], m.tendon_invweight0[t],
+                       J @ d.qvel, LIMIT, active=pos < 0)
 
 
-def _contact_rows(m: Model, d: Data, offset: int = 0):
-    rows = []
-    spans = []
+# ---------------------------------------------------------------------------
+# Contacts (fully vectorized; grouped by condim).
+# ---------------------------------------------------------------------------
+
+
+def _contact_rows(m: Model, d: Data, blocks: _Blocks):
     con = d.contact
-    for c in range(len(con.dim)):
-        g1, g2 = con.geom1[c], con.geom2[c]
-        b1, b2 = m.geom_bodyid[g1], m.geom_bodyid[g2]
-        condim = con.dim[c]
-        pos_eff = con.dist[c] - con.includemargin[c]
-        frame = con.frame[c]  # rows: n, t1, t2
-        jac1p, jac1r = kin.jac(m, d, con.pos[c], b1)
-        jac2p, jac2r = kin.jac(m, d, con.pos[c], b2)
-        jdiffp = jac2p - jac1p  # relative velocity of geom2 wrt geom1
-        jn = frame[0] @ jdiffp
-        inv = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
-        solref, solimp = con.solref[c], con.solimp[c]
-        start = offset + len(rows)
+    ncon = len(con.dim)
+    if ncon == 0:
+        return ()
+    dtype = blocks.dtype
+    b1s = tuple(m.geom_bodyid[g] for g in con.geom1)
+    b2s = tuple(m.geom_bodyid[g] for g in con.geom2)
+    jac1p, jac1r = kin.jac_points(m, d, con.pos, b1s)
+    jac2p, jac2r = kin.jac_points(m, d, con.pos, b2s)
+    jdp = jac2p - jac1p  # (ncon, 3, nv)
+    jdr = jac2r - jac1r
+
+    # frame-projected jacobian rows
+    jn = jnp.einsum("ki,kiv->kv", con.frame[:, 0, :], jdp)
+    jt = [jnp.einsum("ki,kiv->kv", con.frame[:, 1, :], jdp),
+          jnp.einsum("ki,kiv->kv", con.frame[:, 2, :], jdp),
+          jnp.einsum("ki,kiv->kv", con.frame[:, 0, :], jdr),
+          jnp.einsum("ki,kiv->kv", con.frame[:, 1, :], jdr),
+          jnp.einsum("ki,kiv->kv", con.frame[:, 2, :], jdr)]
+
+    pos_eff = con.dist - con.includemargin
+    inv = (m.body_invweight0[jnp.array(b1s), 0]
+           + m.body_invweight0[jnp.array(b2s), 0])
+    mu0 = con.friction[:, 0]
+    # MuJoCo's pyramidal diagApprox: 2 mu0^2 (1 + mu0^2) invweight/impratio
+    inv_pyr = (inv + mu0 * mu0 * inv) * 2.0 * mu0 * mu0 / m.opt.impratio
+
+    # group contacts by condim (static)
+    dims = np.array(con.dim)
+    spans = []
+    row_base = len(blocks.kinds)
+    for condim in sorted(set(con.dim)):
+        idx = np.nonzero(dims == condim)[0]
+        k = idx.size
+        gidx = jnp.asarray(idx)
         if condim == 1:
-            vel = jn @ d.qvel
-            rows.append(_row(m, jn, pos_eff, solref, solimp, inv, LIMIT, vel,
-                             active=pos_eff < 0))
-            spans.append((c, start, 1))
-            continue
-        # pyramidal cone: 2*(condim-1) rows mixing normal and ±mu*tangent
-        mu = con.friction[c]
-        tan_jacs = [frame[1] @ jdiffp, frame[2] @ jdiffp]
-        if condim > 3:
-            jdiffr = jac2r - jac1r
-            tan_jacs.append(frame[0] @ jdiffr)  # torsional
-        if condim > 4:
-            tan_jacs.append(frame[1] @ jdiffr)
-            tan_jacs.append(frame[2] @ jdiffr)
-        # row regularization follows MuJoCo's pyramidal diagApprox:
-        # 2 mu0^2 (1 + mu0^2) invweight / impratio, same for every row
-        inv_pyr = (inv + mu[0] * mu[0] * inv) * 2.0 * mu[0] * mu[0] \
-            / m.opt.impratio
-        for i in range(condim - 1):
-            for sign in (1.0, -1.0):
-                J = jn + sign * mu[i] * tan_jacs[i]
-                vel = J @ d.qvel
-                rows.append(_row(m, J, pos_eff, solref, solimp, inv_pyr,
-                                 LIMIT, vel, active=pos_eff < 0))
-        spans.append((c, start, 2 * (condim - 1)))
-    return rows, spans
+            J = jn[gidx]
+            nrows = 1
+            blocks.add(J, pos_eff[gidx], con.solref[gidx], con.solimp[gidx],
+                       inv[gidx], jnp.einsum("kv,v->k", J, d.qvel), LIMIT,
+                       active=pos_eff[gidx] < 0)
+        else:
+            nfd = condim - 1  # friction dimensions
+            rows = []
+            for i in range(nfd):
+                mu_i = con.friction[gidx, i]
+                ti = jt[i][gidx]
+                rows.append(jn[gidx] + mu_i[:, None] * ti)
+                rows.append(jn[gidx] - mu_i[:, None] * ti)
+            # interleave: (k, 2*nfd, nv) with row order (+t0,-t0,+t1,-t1,..)
+            J = jnp.stack(rows, axis=1).reshape(k * 2 * nfd, m.nv)
+            nrows = 2 * nfd
+            rep = lambda x: jnp.repeat(x, nrows, axis=0)
+            blocks.add(J, rep(pos_eff[gidx]), rep(con.solref[gidx]),
+                       rep(con.solimp[gidx]), rep(inv_pyr[gidx]),
+                       jnp.einsum("kv,v->k", J, d.qvel), LIMIT,
+                       active=rep(pos_eff[gidx]) < 0)
+        spans.append((tuple(int(c) for c in idx), row_base, nrows))
+        row_base += k * nrows
+    return tuple(spans)

@@ -63,9 +63,24 @@ def passive(m: Model, d: Data) -> Data:
     if m.opt.disableflags & DisableBit.PASSIVE:
         return d.replace(qfrc_passive=qfrc)
 
-    # joint springs
+    # joint springs — scalar joints in one vectorized scatter; quaternion
+    # joints (rare) individually
+    import numpy as np
+
+    stiff = np.asarray(m.jnt_stiffness)
+    scalar = [j for j in range(m.njnt)
+              if m.jnt_type[j] in (int(JointType.HINGE),
+                                   int(JointType.SLIDE)) and stiff[j] != 0]
+    if scalar:
+        qadr = np.array([m.jnt_qposadr[j] for j in scalar])
+        dadr = np.array([m.jnt_dofadr[j] for j in scalar])
+        k = m.jnt_stiffness[np.array(scalar)]
+        frc = -k * (d.qpos[qadr] - m.qpos_spring[qadr])
+        qfrc = qfrc.at[jnp.asarray(dadr)].add(frc)
     for jid in range(m.njnt):
         jtype = JointType(m.jnt_type[jid])
+        if jtype in (JointType.HINGE, JointType.SLIDE) or stiff[jid] == 0:
+            continue
         qadr, dadr = m.jnt_qposadr[jid], m.jnt_dofadr[jid]
         k = m.jnt_stiffness[jid]
         if jtype == JointType.FREE:
@@ -78,9 +93,6 @@ def passive(m: Model, d: Data) -> Data:
             dif = mx.quat_sub(d.qpos[qadr:qadr + 4],
                               m.qpos_spring[qadr:qadr + 4])
             qfrc = qfrc.at[dadr:dadr + 3].add(-k * dif)
-        else:
-            qfrc = qfrc.at[dadr].add(
-                -k * (d.qpos[qadr] - m.qpos_spring[qadr]))
 
     # joint dampers
     qfrc = qfrc - m.dof_damping * d.qvel

@@ -21,53 +21,91 @@ from dm_control_tpu.physics import mathx as mx
 from dm_control_tpu.physics.model import Data, JointType, Model, WrapType
 
 
+def _fk_structure(m: Model):
+    """Static FK schedule: per tree level, the body list and, per joint
+    slot within the level, per-type index groups.
+
+    Each entry: (bodies, parents, slots) where slots is a list (one per
+    joint position within a body) of dicts type -> (level_rows, jids).
+    """
+    levels = []
+    for level in m.body_tree_levels:
+        bodies = list(level)
+        parents = [m.body_parentid[b] for b in bodies]
+        max_j = max((m.body_jntnum[b] for b in bodies), default=0)
+        slots = []
+        for k in range(max_j):
+            groups = {}
+            for row, b in enumerate(bodies):
+                if m.body_jntnum[b] > k:
+                    jid = m.body_jntadr[b] + k
+                    groups.setdefault(m.jnt_type[jid], ([], []))
+                    groups[m.jnt_type[jid]][0].append(row)
+                    groups[m.jnt_type[jid]][1].append(jid)
+            slots.append(groups)
+        levels.append((bodies, parents, slots))
+    return levels
+
+
 def kinematics(m: Model, d: Data) -> Data:
-    """mj_kinematics: computes xpos/xquat/xmat, geom/site frames."""
+    """mj_kinematics: computes xpos/xquat/xmat, geom/site frames.
+
+    Level-vectorized: all bodies of a tree level advance together, and
+    joints are applied in batched per-type groups — the op count scales
+    with tree depth, not body count."""
     qpos = d.qpos
     dtype = qpos.dtype
-    xpos = [jnp.zeros(3, dtype)]
-    xquat = [jnp.array([1.0, 0, 0, 0], dtype)]
-    xanchor = [None] * m.njnt
-    xaxis = [None] * m.njnt
+    xpos = jnp.zeros((m.nbody, 3), dtype)
+    xquat = jnp.zeros((m.nbody, 4), dtype).at[:, 0].set(1.0)
+    xanchor = jnp.zeros((m.njnt, 3), dtype)
+    xaxis = jnp.zeros((m.njnt, 3), dtype)
 
-    for i in range(1, m.nbody):
-        p = m.body_parentid[i]
-        pos = xpos[p] + mx.rotate(m.body_pos[i], xquat[p])
-        quat = mx.quat_mul(xquat[p], m.body_quat[i])
-        jadr, jnum = m.body_jntadr[i], m.body_jntnum[i]
-        for jid in range(jadr, jadr + jnum):
-            jtype = JointType(m.jnt_type[jid])
-            qadr = m.jnt_qposadr[jid]
-            if jtype == JointType.FREE:
-                pos = qpos[qadr:qadr + 3]
-                quat = mx.quat_normalize(qpos[qadr + 3:qadr + 7])
-                xanchor[jid] = pos
-                xaxis[jid] = mx.rotate(m.jnt_axis[jid], quat)
-            elif jtype == JointType.BALL:
-                anchor = pos + mx.rotate(m.jnt_pos[jid], quat)
-                qloc = mx.quat_normalize(qpos[qadr:qadr + 4])
-                quat = mx.quat_mul(quat, qloc)
-                pos = anchor - mx.rotate(m.jnt_pos[jid], quat)
-                xanchor[jid] = anchor
-                xaxis[jid] = mx.rotate(m.jnt_axis[jid], quat)
-            elif jtype == JointType.SLIDE:
-                axis = mx.rotate(m.jnt_axis[jid], quat)
-                pos = pos + axis * (qpos[qadr] - m.qpos0[qadr])
-                xanchor[jid] = pos + mx.rotate(m.jnt_pos[jid], quat)
-                xaxis[jid] = axis
-            else:  # HINGE
-                anchor = pos + mx.rotate(m.jnt_pos[jid], quat)
-                angle = qpos[qadr] - m.qpos0[qadr]
-                qrot = mx.axis_angle_to_quat(m.jnt_axis[jid], angle)
-                quat = mx.quat_mul(quat, qrot)
-                pos = anchor - mx.rotate(m.jnt_pos[jid], quat)
-                xanchor[jid] = anchor
-                xaxis[jid] = mx.rotate(m.jnt_axis[jid], quat)
-        xpos.append(pos)
-        xquat.append(quat)
-
-    xpos = jnp.stack(xpos)
-    xquat = jnp.stack(xquat)
+    for bodies, parents, slots in _fk_structure(m):
+        bidx = jnp.asarray(bodies)
+        pidx = jnp.asarray(parents)
+        pq = xquat[pidx]
+        pos = xpos[pidx] + mx.rotate(m.body_pos[bidx], pq)
+        quat = mx.quat_mul(pq, m.body_quat[bidx])
+        for groups in slots:
+            for jtype, (rows, jids) in groups.items():
+                r = jnp.asarray(rows)
+                j = jnp.asarray(jids)
+                qadr = jnp.asarray([m.jnt_qposadr[x] for x in jids])
+                jpos = m.jnt_pos[j]
+                jaxn = m.jnt_axis[j]
+                qsel = quat[r]
+                psel = pos[r]
+                if jtype == int(JointType.FREE):
+                    newp = qpos[qadr[:, None] + jnp.arange(3)]
+                    newq = mx.quat_normalize(
+                        qpos[qadr[:, None] + 3 + jnp.arange(4)])
+                    anchor = newp
+                elif jtype == int(JointType.BALL):
+                    anchor = psel + mx.rotate(jpos, qsel)
+                    qloc = mx.quat_normalize(
+                        qpos[qadr[:, None] + jnp.arange(4)])
+                    newq = mx.quat_mul(qsel, qloc)
+                    newp = anchor - mx.rotate(jpos, newq)
+                elif jtype == int(JointType.SLIDE):
+                    axis_w = mx.rotate(jaxn, qsel)
+                    newp = psel + axis_w * (qpos[qadr]
+                                            - m.qpos0[qadr])[:, None]
+                    newq = qsel
+                    anchor = newp + mx.rotate(jpos, qsel)
+                else:  # HINGE
+                    anchor = psel + mx.rotate(jpos, qsel)
+                    angle = qpos[qadr] - m.qpos0[qadr]
+                    qloc = mx.axis_angle_to_quat(jaxn, angle)
+                    newq = mx.quat_mul(qsel, qloc)
+                    newp = anchor - mx.rotate(jpos, newq)
+                pos = pos.at[r].set(newp)
+                quat = quat.at[r].set(newq)
+                xanchor = xanchor.at[j].set(anchor)
+                xaxis = xaxis.at[j].set(mx.rotate(jaxn, newq)
+                                        if jtype != int(JointType.SLIDE)
+                                        else mx.rotate(jaxn, qsel))
+        xpos = xpos.at[bidx].set(pos)
+        xquat = xquat.at[bidx].set(quat)
     xmat = mx.quat_to_mat(xquat)
 
     xipos = xpos + jnp.einsum("bij,bj->bi", xmat, m.body_ipos)
@@ -85,10 +123,7 @@ def kinematics(m: Model, d: Data) -> Data:
         xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos, ximat=ximat,
         geom_xpos=geom_xpos, geom_xmat=geom_xmat,
         site_xpos=site_xpos, site_xmat=site_xmat,
-        jnt_xanchor=(jnp.stack(xanchor) if m.njnt
-                     else jnp.zeros((0, 3), qpos.dtype)),
-        jnt_xaxis=(jnp.stack(xaxis) if m.njnt
-                   else jnp.zeros((0, 3), qpos.dtype)),
+        jnt_xanchor=xanchor, jnt_xaxis=xaxis,
     )
 
 
@@ -214,6 +249,28 @@ def jac(m: Model, d: Data, point, bodyid: int):
 
 def jac_site(m: Model, d: Data, siteid: int):
     return jac(m, d, d.site_xpos[siteid], m.site_bodyid[siteid])
+
+
+def jac_points(m: Model, d: Data, points, bodyids):
+    """Vectorized mj_jac over K points: returns (jacp, jacr), each
+    (K, 3, nv).
+
+    ``bodyids`` is a static tuple; chain masking uses the precomputed
+    body_chain_mask so the whole computation is a handful of batched ops
+    instead of K unrolled jacobian builds.
+    """
+    bid = jnp.array(bodyids, jnp.int32)
+    root = jnp.array([m.body_rootid[b] for b in bodyids], jnp.int32)
+    com = d.subtree_com[root]  # (K, 3)
+    mask = m.body_chain_mask[bid]  # (K, nv)
+    offset = points[:, None, :] - com[:, None, :]  # (K, 1, 3)
+    ang = d.cdof[None, :, :3]  # (1, nv, 3)
+    lin = d.cdof[None, :, 3:]  # (1, nv, 3)
+    jacp = (lin + jnp.cross(ang, jnp.broadcast_to(
+        offset, (offset.shape[0], ang.shape[1], 3)))) * mask[..., None]
+    jacr = jnp.broadcast_to(ang, jacp.shape) * mask[..., None]
+    # (K, nv, 3) → (K, 3, nv)
+    return jacp.swapaxes(1, 2), jacr.swapaxes(1, 2)
 
 
 # ---------------------------------------------------------------------------

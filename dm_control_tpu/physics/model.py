@@ -441,6 +441,9 @@ class Model:
     collision_pairs: Tuple[Tuple[int, int], ...] = static_field(default=())
     # Per-dof ancestor mask is derived (see inertia.py) — kept as an array.
     dof_ancestor_mask: jax.Array = None  # (nv, nv) 0/1
+    # body_chain_mask[b, j] = 1 if dof j is on body b's kinematic chain
+    # (drives vectorized point jacobians)
+    body_chain_mask: jax.Array = None  # (nbody, nv) 0/1
 
     # ---- names (host-side only; static) ----
     names: Any = static_field(default=None)  # NameMap

@@ -154,11 +154,12 @@ def sensor_acc(m: Model, d: Data) -> Data:
         return d
     cacc, cfrc_int = _rne_postconstraint(m, d)
     out = d.sensordata
+    touch_vals = _touch_all(m, d)
     for s in range(m.nsensor):
         stype = _S(m.sensor_type[s])
         adr, objid = m.sensor_adr[s], m.sensor_objid[s]
         if stype == _S.TOUCH:
-            out = out.at[adr].set(_touch(m, d, objid))
+            out = out.at[adr].set(touch_vals[s])
         elif stype == _S.ACCELEROMETER:
             b = m.site_bodyid[objid]
             root = m.body_rootid[b]
@@ -198,92 +199,94 @@ def sensor_acc(m: Model, d: Data) -> Data:
     return d.replace(sensordata=out)
 
 
-def _touch(m: Model, d: Data, siteid: int):
-    """Sum of contact normal forces on geoms of the site's body.
+def _touch_all(m: Model, d: Data):
+    """All touch sensors at once: (nsensor,) values (zeros for non-touch).
 
-    Approximates mj_sensorAcc's touch: the site-volume test is skipped
-    (suite touch sites enclose their geoms)."""
-    body = m.site_bodyid[siteid]
-    total = jnp.zeros((), d.qpos.dtype)
+    Touch = sum of contact normal forces whose position falls inside the
+    site volume and whose contact involves the site's body — computed as
+    one (sensors × contacts) batch instead of nested unrolled loops.
+    """
+    import numpy as np
+
+    dtype = d.qpos.dtype
+    vals = jnp.zeros(m.nsensor, dtype)
+    touch_ids = [s for s in range(m.nsensor)
+                 if _S(m.sensor_type[s]) == _S.TOUCH]
     con = d.contact
-    size = m.site_size[siteid]
-    stype = m.site_type[siteid]
-    for c in range(len(con.dim)):
-        b1 = m.geom_bodyid[con.geom1[c]]
-        b2 = m.geom_bodyid[con.geom2[c]]
-        if body not in (b1, b2):
-            continue
-        # contact position in site-local frame
-        p = d.site_xmat[siteid].T @ (con.pos[c] - d.site_xpos[siteid])
-        if stype == 2:  # sphere
-            inside = jnp.sum(p * p) <= size[0] ** 2
-        elif stype == 3:  # capsule
-            z = jnp.clip(p[2], -size[1], size[1])
-            inside = (p[0] ** 2 + p[1] ** 2
-                      + (p[2] - z) ** 2) <= size[0] ** 2
-        elif stype == 4:  # ellipsoid
-            inside = jnp.sum((p / jnp.maximum(size, 1e-15)) ** 2) <= 1.0
-        elif stype == 5:  # cylinder
-            inside = ((p[0] ** 2 + p[1] ** 2 <= size[0] ** 2)
-                      & (jnp.abs(p[2]) <= size[1]))
-        else:  # box
-            inside = jnp.all(jnp.abs(p) <= size)
-        total = total + jnp.where(
-            inside, jnp.maximum(d.contact_force[c], 0.0), 0.0)
-    return total
+    ncon = len(con.dim)
+    if not touch_ids or ncon == 0:
+        return vals
+    sids = np.array([m.sensor_objid[s] for s in touch_ids])
+    sbodies = np.array([m.site_bodyid[i] for i in sids])
+    cb1 = np.array([m.geom_bodyid[g] for g in con.geom1])
+    cb2 = np.array([m.geom_bodyid[g] for g in con.geom2])
+    # (S, C) static mask: contact touches the sensor's body
+    body_mask = jnp.asarray((sbodies[:, None] == cb1[None, :])
+                            | (sbodies[:, None] == cb2[None, :]))
+    # contact pos in each site's local frame: (S, C, 3)
+    smat = d.site_xmat[sids]  # (S, 3, 3)
+    spos = d.site_xpos[sids]  # (S, 3)
+    rel = con.pos[None, :, :] - spos[:, None, :]
+    p = jnp.einsum("sij,sci->scj", smat, rel)
+    size = m.site_size[sids][:, None, :]  # (S, 1, 3)
+    stypes = np.array([m.site_type[i] for i in sids])[:, None]
+
+    sphere = jnp.sum(p * p, -1) <= size[..., 0] ** 2
+    z = jnp.clip(p[..., 2], -size[..., 1], size[..., 1])
+    capsule = (p[..., 0] ** 2 + p[..., 1] ** 2
+               + (p[..., 2] - z) ** 2) <= size[..., 0] ** 2
+    ellipsoid = jnp.sum((p / jnp.maximum(size, 1e-15)) ** 2, -1) <= 1.0
+    cylinder = ((p[..., 0] ** 2 + p[..., 1] ** 2 <= size[..., 0] ** 2)
+                & (jnp.abs(p[..., 2]) <= size[..., 1]))
+    box = jnp.all(jnp.abs(p) <= size, -1)
+    st = jnp.asarray(stypes)
+    inside = jnp.select(
+        [st == 2, st == 3, st == 4, st == 5],
+        [sphere, capsule, ellipsoid, cylinder], box)
+
+    force = jnp.maximum(d.contact_force, 0.0)[None, :]
+    totals = jnp.sum(jnp.where(body_mask & inside, force, 0.0), axis=1)
+    return vals.at[jnp.asarray(np.array(touch_ids))].set(
+        totals.astype(dtype))
 
 
 def _subtree_vel(m: Model, d: Data):
-    """mj_subtreeVel: subtree CoM linear velocity and angular momentum."""
-    dtype = d.qpos.dtype
-    # body CoM linear velocities (world)
-    lin = []
-    ang = []
-    for b in range(m.nbody):
-        root = m.body_rootid[b]
-        vel6 = mx.transform_motion(d.cvel[b], d.xipos[b] - d.subtree_com[root])
-        lin.append(vel6[3:])
-        ang.append(vel6[:3])
-    lin = jnp.stack(lin)
-    ang = jnp.stack(ang)
+    """mj_subtreeVel: subtree CoM linear velocity and angular momentum,
+    vectorized with a static subtree-membership matrix."""
+    import numpy as np
+
+    # body CoM spatial velocities (world), batched
+    root = jnp.array(m.body_rootid, jnp.int32)
+    vel6 = mx.transform_motion(d.cvel, d.xipos - d.subtree_com[root])
+    ang, lin = vel6[:, :3], vel6[:, 3:]
     mom = m.body_mass[:, None] * lin
 
-    acc_p = [mom[i] for i in range(m.nbody)]
-    for level in reversed(m.body_tree_levels):
-        for i in level:
-            p = m.body_parentid[i]
-            acc_p[p] = acc_p[p] + acc_p[i]
-    linvel = jnp.stack(acc_p) / jnp.maximum(
+    # subtree membership: member[b, i] = 1 if body i is in subtree of b
+    nb = m.nbody
+    member = np.zeros((nb, nb))
+    parent = m.body_parentid
+    for i in range(nb):
+        b = i
+        while True:
+            member[b, i] = 1.0
+            if b == 0:
+                break
+            b = parent[b]
+    member_j = jnp.asarray(member, d.qpos.dtype)
+
+    linvel = (member_j @ mom) / jnp.maximum(
         m.body_subtreemass[:, None], 1e-15)
 
-    # angular momentum about subtree com
-    # L_b(own) = I_world w + m (r - com_subtree) x v
-    angmom = []
-    iw = []
-    for b in range(m.nbody):
-        imat = d.ximat[b] @ jnp.diag(m.body_inertia[b]) @ d.ximat[b].T
-        iw.append(imat @ ang[b])
-    iw = jnp.stack(iw)
-
-    # accumulate over subtrees, with each subtree's own com
-    for b in range(m.nbody):
-        total = jnp.zeros(3, dtype)
-        # static subtree membership
-        members = [i for i in range(m.nbody) if _in_subtree(m, i, b)]
-        for i in members:
-            r = d.xipos[i] - d.subtree_com[b]
-            total = total + iw[i] + m.body_mass[i] * jnp.cross(
-                r, lin[i] - linvel[b])
-        angmom.append(total)
-    return linvel, jnp.stack(angmom)
-
-
-def _in_subtree(m: Model, i: int, b: int) -> bool:
-    while i != 0:
-        if i == b:
-            return True
-        i = m.body_parentid[i]
-    return b == 0
+    # angular momentum about each subtree com:
+    # L_b = sum_{i in subtree(b)} I_i w_i + m_i (r_i - com_b) x (v_i - v_b)
+    iw = jnp.einsum("bij,bj,bkj,bk->bi", d.ximat, m.body_inertia,
+                    d.ximat, ang)
+    r = d.xipos[None, :, :] - d.subtree_com[:, None, :]  # (b, i, 3)
+    dv = lin[None, :, :] - linvel[:, None, :]  # (b, i, 3)
+    cross = jnp.cross(r, dv) * m.body_mass[None, :, None]
+    angmom = jnp.einsum("bi,ic->bc", member_j, iw) + jnp.sum(
+        member_j[:, :, None] * cross, axis=1)
+    return linvel, angmom
 
 
 def _rne_postconstraint(m: Model, d: Data):

@@ -145,13 +145,15 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
     qfrc_constraint = efc.J.T @ efc_force
 
     # per-contact normal force: pyramidal rows each contribute their force
-    # 1:1 to the normal direction (rows are n ± mu t)
+    # 1:1 to the normal direction (rows are n ± mu t); recovered group-wise
     contact_force = d.contact_force
     if efc.contact_spans:
         contact_force = jnp.zeros_like(d.contact_force)
-        for conid, start, nrows in efc.contact_spans:
-            contact_force = contact_force.at[conid].set(
-                jnp.sum(efc_force[start:start + nrows]))
+        for conids, start, nrows in efc.contact_spans:
+            k = len(conids)
+            group = efc_force[start:start + k * nrows].reshape(k, nrows)
+            contact_force = contact_force.at[jnp.asarray(conids)].set(
+                jnp.sum(group, axis=1))
     return d.replace(
         qacc=x,
         qfrc_constraint=qfrc_constraint,
