@@ -130,6 +130,22 @@ class _Compiler:
         self.sensors: List[dict] = []
         self.equalities: List[dict] = []
         self.excludes: List[tuple] = []
+        self.hfields: List[dict] = []
+        self._parse_assets()
+
+    def _parse_assets(self):
+        asset = self.root.first("asset")
+        if asset is None:
+            return
+        for a in asset.children:
+            if a.tag == "hfield":
+                self.hfields.append(dict(
+                    name=a.get("name", f"hfield{len(self.hfields)}"),
+                    nrow=_int(a.get("nrow"), 0),
+                    ncol=_int(a.get("ncol"), 0),
+                    size=_floats(a.get("size"), 4),
+                ))
+            # meshes/textures/materials: not needed by the physics engine
 
     # -- angles / orientations ---------------------------------------------
 
@@ -226,8 +242,16 @@ class _Compiler:
         return self._build_model()
 
     def _compile_options(self):
-        opt_el = self.root.first("option") or Element("option")
-        flag_el = opt_el.first("flag") or Element("flag")
+        # MJCF allows repeated <option> sections (merged by MuJoCo)
+        opt_el = Element("option")
+        flag_el = Element("flag")
+        for child in self.root.children:
+            if child.tag != "option":
+                continue
+            opt_el.attrib.update(child.attrib)
+            for sub in child.children:
+                if sub.tag == "flag":
+                    flag_el.attrib.update(sub.attrib)
         self.opt_timestep = _float(opt_el.get("timestep"), 0.002)
         self.opt_gravity = _floats(opt_el.get("gravity"), 3)
         if self.opt_gravity is None:
@@ -1165,6 +1189,17 @@ class _Compiler:
             if self.equalities else f(np.zeros((0, 5))),
             eq_data=f([e["data"] for e in self.equalities])
             if self.equalities else f(np.zeros((0, 11))),
+            nhfield=len(self.hfields),
+            hfield_nrow=self.hfields[0]["nrow"] if self.hfields else 0,
+            hfield_ncol=self.hfields[0]["ncol"] if self.hfields else 0,
+            geom_dataid=tuple(
+                ({h["name"]: i for i, h in enumerate(self.hfields)}
+                 .get(g.get("hfieldname"), -1)) for g in geoms),
+            hfield_size=f([h["size"] for h in self.hfields])
+            if self.hfields else f(np.zeros((0, 4))),
+            hfield_data=f(np.zeros((self.hfields[0]["nrow"],
+                                    self.hfields[0]["ncol"]))
+                          if self.hfields else np.zeros((0, 0))),
             body_tree_levels=tuple(levels),
             collision_pairs=self._collision_pairs(),
             dof_ancestor_mask=f(anc),

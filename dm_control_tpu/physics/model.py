@@ -376,6 +376,15 @@ class Model:
     geom_solimp: jax.Array = None  # (ngeom, 5)
     geom_rgba: jax.Array = None  # (ngeom, 4)
 
+    # ---- heightfields (at most one; elevation data is a normal array
+    # leaf so terrain can be regenerated per episode without retracing) ----
+    nhfield: int = static_field(default=0)
+    hfield_nrow: int = static_field(default=0)
+    hfield_ncol: int = static_field(default=0)
+    geom_dataid: Tuple[int, ...] = static_field(default=())
+    hfield_size: jax.Array = None  # (nhfield, 4) rx, ry, elevation_z, base_z
+    hfield_data: jax.Array = None  # (nrow, ncol) normalized [0, 1]
+
     # ---- sites ----
     site_type: Tuple[int, ...] = static_field(default=())
     site_bodyid: Tuple[int, ...] = static_field(default=())

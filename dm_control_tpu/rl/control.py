@@ -120,6 +120,13 @@ class Task:
     def reject(self, m: Model, d: Data):
         return jnp.asarray(False)
 
+    def reject_reinit(self, m: Model, qpos, qvel, rc: RandomContext,
+                      diff: Dict):
+        """Re-draw after a rejected initial state.  Defaults to a full
+        ``init``; override when the reference's rejection loop re-draws
+        only part of the state (e.g. finger re-randomizes joints only)."""
+        return self.init(m, qpos, qvel, rc, diff)
+
     def initial_model_diff(self, m: Model) -> Dict:
         """Structure (with defaults) of per-episode model overrides."""
         return {}
@@ -247,6 +254,12 @@ class Environment(dm_env.Environment):
     def task(self):
         return self._task
 
+    @property
+    def random_state(self) -> np.random.RandomState:
+        """The episode-initialization RandomState (reference keeps this on
+        the task, dm_control/suite/base.py:48)."""
+        return self._random
+
     def control_timestep(self) -> float:
         return self._control_timestep
 
@@ -257,11 +270,13 @@ class Environment(dm_env.Environment):
         rc = RandomContext(np_random=self._random)
         diff = self._task.initial_model_diff(m)
         attempts = max(1, self._task.max_reset_rejections)
+        init_fn = self._task.init
         for _ in range(attempts):
             d = make_data(m)
-            qpos, qvel, diff = self._task.init(
+            qpos, qvel, diff = init_fn(
                 m, np.asarray(m.qpos0).copy(),
                 np.zeros(m.nv), rc, diff)
+            init_fn = self._task.reject_reinit
             d = d.replace(qpos=jnp.asarray(qpos, d.qpos.dtype),
                           qvel=jnp.asarray(qvel, d.qvel.dtype))
             if self._task.settle_steps:

@@ -16,11 +16,18 @@ from dm_control_tpu.suite import acrobot
 from dm_control_tpu.suite import ball_in_cup
 from dm_control_tpu.suite import cartpole
 from dm_control_tpu.suite import cheetah
+from dm_control_tpu.suite import finger
+from dm_control_tpu.suite import fish
 from dm_control_tpu.suite import hopper
 from dm_control_tpu.suite import humanoid
+from dm_control_tpu.suite import humanoid_CMU
+from dm_control_tpu.suite import lqr
+from dm_control_tpu.suite import manipulator
 from dm_control_tpu.suite import pendulum
 from dm_control_tpu.suite import point_mass
+from dm_control_tpu.suite import quadruped
 from dm_control_tpu.suite import reacher
+from dm_control_tpu.suite import stacker
 from dm_control_tpu.suite import swimmer
 from dm_control_tpu.suite import walker
 

@@ -1,0 +1,1 @@
+"""Environment wrappers (reference: dm_control/suite/wrappers/)."""
