@@ -1,0 +1,232 @@
+"""Entity: an attachable model component.
+
+Reference: dm_control/composer/entity.py:69-588 — entities construct an
+MJCF submodel in ``_build``, expose observables via ``_build_observables``,
+and are composed by ``attach``.  Here attachment is a compile-time element
+tree merge with name prefixing (the analogue of PyMJCF's namescope
+prefixing, dm_control/mjcf/element.py:693-770); after composition the whole
+tree compiles once into a static Model.
+"""
+
+from __future__ import annotations
+
+import abc
+import copy
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from dm_control_tpu.composer.define import cached_property
+from dm_control_tpu.composer.observation.observable import Observable
+from dm_control_tpu.mjcf.element import Element
+
+# Attributes whose values reference other elements' names.
+_REF_ATTRS = ("joint", "site", "tendon", "body1", "body2", "joint1",
+              "joint2", "tendon1", "tendon2", "objname", "target", "hfield",
+              "mesh", "material", "texture", "childclass", "class",
+              "actuator", "geom1", "geom2", "prefix")
+
+# Top-level sections merged (not nested) on attach.
+_MERGE_SECTIONS = ("asset", "actuator", "sensor", "tendon", "equality",
+                   "contact", "default")
+
+
+def _prefix_tree(elem: Element, prefix: str) -> None:
+    for e in elem.iter():
+        if "name" in e.attrib:
+            e.attrib["name"] = prefix + str(e.attrib["name"])
+        for attr in _REF_ATTRS:
+            if attr in e.attrib and attr != "prefix":
+                e.attrib[attr] = prefix + str(e.attrib[attr])
+
+
+class Observables:
+    """Container of an entity's observables
+    (reference composer/entity.py:69)."""
+
+    def __init__(self, entity):
+        self._entity = entity
+        self._observables: Dict[str, Observable] = {}
+        self._build()
+
+    def _build(self):
+        """Collects @define.observable-decorated methods."""
+        from dm_control_tpu.composer.define import observable as obs_deco
+
+        for name in dir(type(self)):
+            attr = getattr(type(self), name, None)
+            if isinstance(attr, obs_deco):
+                self._observables[name] = attr.fget(self)
+
+    def add_observable(self, name, observable):
+        self._observables[name] = observable
+
+    def as_dict(self, fully_qualified=True):
+        prefix = (self._entity.name + "/") if (
+            fully_qualified and self._entity.name) else ""
+        return {prefix + k: v for k, v in self._observables.items()}
+
+    def enable_all(self):
+        for obs in self._observables.values():
+            obs.enabled = True
+
+    def disable_all(self):
+        for obs in self._observables.values():
+            obs.enabled = False
+
+    def set_options(self, options):
+        for name, opts in (options or {}).items():
+            self._observables[name].configure(**opts)
+
+    def __getattr__(self, name):
+        try:
+            return self.__dict__["_observables"][name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def __getitem__(self, name):
+        return self._observables[name]
+
+    def keys(self):
+        return self._observables.keys()
+
+
+class Entity(abc.ABC):
+    """Base entity (reference composer/entity.py:192)."""
+
+    def __init__(self, *args, **kwargs):
+        self._parent: Optional[Entity] = None
+        self._attached: List[Entity] = []
+        self._attachment_frame: Optional[Element] = None
+        self._build(*args, **kwargs)
+
+    @abc.abstractmethod
+    def _build(self, *args, **kwargs):
+        """Constructs self._mjcf_root (an Element tree)."""
+
+    def _build_observables(self) -> Observables:
+        return Observables(self)
+
+    @cached_property
+    def observables(self) -> Observables:
+        return self._build_observables()
+
+    @property
+    def mjcf_model(self) -> Element:
+        return self._mjcf_root
+
+    @property
+    def name(self) -> str:
+        return self._mjcf_root.get("model", type(self).__name__.lower())
+
+    @property
+    def parent(self):
+        return self._parent
+
+    def iter_entities(self, exclude_self=False):
+        if not exclude_self:
+            yield self
+        for child in self._attached:
+            yield from child.iter_entities()
+
+    # -- attachment ---------------------------------------------------------
+
+    def attach(self, entity: "Entity",
+               attach_site: Optional[Element] = None) -> Element:
+        """Attaches ``entity``, returning its attachment frame body.
+
+        The child's worldbody content is wrapped in a frame body at the
+        attachment point; other sections merge into this model's tree with
+        'childname/' name prefixing (PyMJCF semantics,
+        dm_control/mjcf/element.py:893-952)."""
+        prefix = entity.name + "/"
+        child_root = copy.deepcopy(entity.mjcf_model)
+        _prefix_tree(child_root, prefix)
+
+        parent_elem = attach_site or self._mjcf_root.first("worldbody")
+        if parent_elem is None:
+            parent_elem = self._mjcf_root.add("worldbody")
+        frame = parent_elem.add("body", name=prefix.rstrip("/"))
+        child_world = child_root.first("worldbody")
+        if child_world is not None:
+            for c in child_world.children:
+                c.parent = frame
+                frame.children.append(c)
+        for section in _MERGE_SECTIONS:
+            child_sec = child_root.first(section)
+            if child_sec is None:
+                continue
+            own = self._mjcf_root.first(section)
+            if own is None:
+                own = self._mjcf_root.add(section)
+            for c in child_sec.children:
+                c.parent = own
+                own.children.append(c)
+
+        entity._parent = self
+        entity._attachment_frame = frame
+        self._attached.append(entity)
+        return frame
+
+    def detach(self):
+        """Detaches this entity from its parent
+        (reference entity.py:311)."""
+        if self._parent is None:
+            raise RuntimeError("Entity is not attached.")
+        frame = self._attachment_frame
+        frame.parent.children.remove(frame)
+        self._parent._attached.remove(self)
+        self._parent = None
+        self._attachment_frame = None
+
+    @property
+    def attachment_frame(self) -> Optional[Element]:
+        return self._attachment_frame
+
+    # -- episode hooks (reference entity.py hooks) --------------------------
+
+    def initialize_episode_mjcf(self, random_state):
+        pass
+
+    def initialize_episode(self, physics, random_state):
+        pass
+
+    def before_step(self, physics, random_state):
+        pass
+
+    def before_substep(self, physics, random_state):
+        pass
+
+    def after_substep(self, physics, random_state):
+        pass
+
+    def after_step(self, physics, random_state):
+        pass
+
+    # -- pose helpers (reference entity.py:409-570) -------------------------
+
+    def set_pose(self, physics, position=None, quaternion=None):
+        """Sets the entity's attachment-frame pose (requires a freejoint
+        for moving entities)."""
+        frame_name = self._attachment_frame.get("name")
+        physics.set_body_pose(frame_name, position, quaternion)
+
+    def get_pose(self, physics):
+        frame_name = self._attachment_frame.get("name")
+        return physics.body_pose(frame_name)
+
+
+class ModelWrapperEntity(Entity):
+    """Wraps a pre-built element tree (reference entity.py:588)."""
+
+    def _build(self, mjcf_model: Element):
+        self._mjcf_root = mjcf_model
+
+
+class Robot(Entity):
+    """Base class for robot entities (reference composer/robot.py)."""
+
+    @property
+    def actuators(self):
+        section = self._mjcf_root.first("actuator")
+        return tuple(section.children) if section is not None else ()
