@@ -14,12 +14,16 @@ class Arena(Entity):
         self._mjcf_root.add("worldbody")
 
     def add_free_entity(self, entity):
-        """Attaches an entity with a free joint on its attachment frame
-        (reference arena.py:37)."""
+        """Attaches an entity with root joints on its attachment frame
+        (reference arena.py:37); entities may override
+        ``create_root_joints`` (e.g. planar walkers)."""
         frame = self.attach(entity)
-        frame.children.insert(0, Element(
-            "freejoint", {"name": frame.get("name") + "_root"},
-            parent=frame))
+        if hasattr(entity, "create_root_joints"):
+            entity.create_root_joints(frame)
+        else:
+            frame.children.insert(0, Element(
+                "freejoint", {"name": frame.get("name") + "_root"},
+                parent=frame))
         return frame
 
 

@@ -146,10 +146,20 @@ class Entity(abc.ABC):
         parent_elem = attach_site or self._mjcf_root.first("worldbody")
         if parent_elem is None:
             parent_elem = self._mjcf_root.add("worldbody")
-        frame = parent_elem.add("body", name=prefix.rstrip("/"))
         child_world = child_root.first("worldbody")
-        if child_world is not None:
-            for c in child_world.children:
+        world_children = list(child_world.children) if child_world else []
+        only_bodies = [c for c in world_children if c.tag == "body"]
+        if len(world_children) == 1 and len(only_bodies) == 1:
+            # single root body: use it directly as the attachment frame —
+            # a massless wrapper body with a free joint would be rejected
+            # by the physics (moving bodies need mass)
+            frame = only_bodies[0]
+            frame.attrib.setdefault("name", prefix.rstrip("/"))
+            frame.parent = parent_elem
+            parent_elem.children.append(frame)
+        else:
+            frame = parent_elem.add("body", name=prefix.rstrip("/"))
+            for c in world_children:
                 c.parent = frame
                 frame.children.append(c)
         for section in _MERGE_SECTIONS:

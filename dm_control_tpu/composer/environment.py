@@ -153,7 +153,11 @@ class Environment(dm_env.Environment):
                                    self._updater.get_observation())
 
         self._step_count += 1
-        reward = float(task.get_reward(physics))
+        reward = task.get_reward(physics)
+        # multi-agent tasks return per-player reward sequences
+        reward = (np.asarray(reward, dtype=float)
+                  if isinstance(reward, (list, tuple, np.ndarray))
+                  else float(reward))
         obs = self._updater.get_observation()
         if task.should_terminate_episode(physics):
             self._reset_next_step = True

@@ -1,0 +1,1 @@
+"""Locomotion library (reference: dm_control/locomotion/)."""

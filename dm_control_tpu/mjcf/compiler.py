@@ -511,12 +511,21 @@ class _Compiler:
     # -- inertia from geoms -------------------------------------------------
 
     def _finalize_bodies(self):
-        # mjModel stores geoms/sites/cameras contiguously per body
-        # (body_geomadr/geomnum); document order can interleave world geoms
-        # with body blocks, so stable-sort by bodyid and rebuild addresses.
-        for kind in ("geoms", "sites", "cams"):
+        # mjModel stores joints/geoms/sites/cameras contiguously per body;
+        # document order can interleave (e.g. a parent's <joint> declared
+        # after a child <body>), so stable-sort by bodyid and rebuild
+        # addresses.  Joint order determines qpos/dof layout: parent dofs
+        # must precede descendants' (tree order).
+        for kind in ("joints", "geoms", "sites", "cams"):
             items = getattr(self, kind)
             items.sort(key=lambda it: it["bodyid"])
+        for body in self.bodies:
+            body["jntadr"], body["jntnum"] = -1, 0
+        for jid, j in enumerate(self.joints):
+            body = self.bodies[j["bodyid"]]
+            if body["jntadr"] < 0:
+                body["jntadr"] = jid
+            body["jntnum"] += 1
         for body in self.bodies:
             body["geomadr"], body["geomnum"] = -1, 0
         for gid, g in enumerate(self.geoms):

@@ -76,7 +76,9 @@ def test_attachment_prefixing():
     arena = Floor()
     ball = Ball()
     frame = arena.add_free_entity(ball)
-    assert frame.get("name") == "ball"
+    # single-root-body entities collapse into their root (no massless
+    # wrapper body)
+    assert frame.get("name") == "ball/root"
     names = [e.get("name") for e in arena.mjcf_model.iter()
              if e.get("name")]
     assert "ball/sphere" in names

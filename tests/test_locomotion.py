@@ -1,0 +1,100 @@
+"""Locomotion library tests: walkers, arenas, tasks, mocap, soccer."""
+
+import numpy as np
+import pytest
+
+from dm_control_tpu import composer
+from dm_control_tpu.locomotion.arenas import EmptyCorridor, Floor
+from dm_control_tpu.locomotion.mocap.loader import (
+    synthetic_walking_trajectory,
+)
+from dm_control_tpu.locomotion.mocap.trajectory import Trajectory
+from dm_control_tpu.locomotion.mocap.types import ClipCollection
+from dm_control_tpu.locomotion.tasks import GoToTarget, RunThroughCorridor
+from dm_control_tpu.locomotion.walkers.jumping_ball import (
+    RollingBallWithHead,
+)
+
+
+def test_go_to_target_episode():
+    walker = RollingBallWithHead()
+    task = GoToTarget(walker, Floor(size=(8, 8)))
+    env = composer.Environment(task, time_limit=0.5, random_state=7)
+    ts = env.reset()
+    assert "target" in ts.observation
+    assert "ball_walker/joints_pos" in ts.observation
+    n = 0
+    while not ts.last():
+        ts = env.step(np.zeros(2))
+        n += 1
+    assert n == 20
+
+
+def test_corridor_task():
+    walker = RollingBallWithHead()
+    task = RunThroughCorridor(walker, EmptyCorridor(),
+                              walker_spawn_position=(0.5, 0, 0.2))
+    env = composer.Environment(task, time_limit=0.25, random_state=3)
+    ts = env.reset()
+    while not ts.last():
+        ts = env.step(np.array([1.0, 0.0]))  # roll forward
+    assert np.isfinite(ts.reward)
+
+
+def test_trajectory_and_clips():
+    traj = synthetic_walking_trajectory(nq=9, nv=8, num_steps=50)
+    assert traj.num_steps == 50
+    sub = traj.sub_trajectory(10, 30)
+    assert sub.num_steps == 20
+    zeroed = traj.as_zeroed_velocity()
+    assert np.all(zeroed["qvel"] == 0)
+    np.testing.assert_array_equal(zeroed["qpos"], traj["qpos"])
+    cc = ClipCollection(ids=("a", "b"))
+    assert cc.weights == (1.0, 1.0)
+    with pytest.raises(ValueError):
+        ClipCollection(ids=("a",), weights=(1.0, 2.0))
+
+
+def test_tracking_task():
+    from dm_control_tpu.locomotion.tasks.reference_pose import (
+        MultiClipMocapTracking,
+    )
+
+    walker = RollingBallWithHead()
+    nq = 7 + len(walker.observable_joint_names)
+    traj = synthetic_walking_trajectory(nq=nq, nv=nq - 1, num_steps=40)
+    task = MultiClipMocapTracking(
+        walker, Floor(), {"walk": traj},
+        dataset=ClipCollection(ids=("walk",)),
+        termination_error_threshold=50.0, reward_type="comic")
+    env = composer.Environment(task, time_limit=0.5, random_state=1)
+    ts = env.reset()
+    ts = env.step(np.zeros(2))
+    assert np.isfinite(ts.reward)
+    assert task.last_reward_terms is not None
+
+
+def test_soccer_1v1():
+    from dm_control_tpu.locomotion import soccer
+
+    env = soccer.load(team_size=1, time_limit=0.25, random_state=5,
+                      pitch_size=(6, 4))
+    ts = env.reset()
+    specs_pp = env.task.action_spec_per_player(env.physics)
+    assert len(specs_pp) == 2
+    rng = np.random.RandomState(0)
+    while not ts.last():
+        ts = env.step([rng.uniform(-1, 1, s.shape) for s in specs_pp])
+    assert len(ts.reward) == 2
+
+
+def test_reward_zoo():
+    from dm_control_tpu.locomotion.tasks.reference_pose import rewards as rw
+
+    wf = {"joints": np.zeros(3), "joints_velocity": np.zeros(3),
+          "center_of_mass": np.zeros(3), "appendages": np.zeros(6),
+          "body_quaternions": np.array([1.0, 0, 0, 0])}
+    out = rw.comic_reward_fn(
+        termination_error=0.0, termination_error_threshold=0.3,
+        walker_features=wf, reference_features=wf)
+    np.testing.assert_allclose(out.reward, 0.5 + 0.5 * 1.9, atol=1e-12)
