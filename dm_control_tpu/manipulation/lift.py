@@ -1,0 +1,91 @@
+"""Lift tasks (reference: dm_control/manipulation/lift.py:60-240).
+
+``lift_brick``: raise a brick 0.3m above its initial height.
+``lift_large_box``: same with a large box that can't be pinch-grasped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dm_control_tpu.entities.props.primitive import Brick, Primitive
+from dm_control_tpu.manipulation.shared import registry
+from dm_control_tpu.manipulation.shared import observations as obs_mod
+from dm_control_tpu.manipulation.shared import workspaces
+from dm_control_tpu.manipulation.shared.task import ArmTask
+from dm_control_tpu.utils import rewards
+
+_DISTANCE_TO_LIFT = 0.3  # reference lift.py:60
+
+_PROP_BOX = workspaces.BoundingBox(
+    lower=(-0.15, -0.1, 0.02), upper=(0.15, 0.15, 0.08))
+
+
+class Lift(ArmTask):
+    """Raise the prop above a target height (reference lift.py:100
+    `_Lift`)."""
+
+    def __init__(self, prop, obs_settings=None):
+        super().__init__(obs_settings=obs_settings)
+        self._prop = prop
+        self._add_free_prop(prop)
+        if self._obs_settings.prop_pose.enabled:
+            prop.observables.enable_all()
+        self._target_height = 0.0
+        self._init_height = 0.0
+
+    def initialize_episode(self, physics, random_state):
+        super().initialize_episode(physics, random_state)
+        pos = self._place_prop(physics, self._prop, _PROP_BOX,
+                               random_state)
+        physics.forward()
+        self._init_height = float(self._prop.position(physics)[2])
+        # reference lift.py:190
+        self._target_height = _DISTANCE_TO_LIFT + self._init_height
+
+    def get_reward(self, physics):
+        # reference lift.py:179 — linear shaping from initial to target
+        # height, plus a small reach-shaping term to guide the arm.
+        prop_height = float(self._prop.position(physics)[2])
+        lift = rewards.tolerance(
+            prop_height, bounds=(self._target_height, float("inf")),
+            margin=_DISTANCE_TO_LIFT, value_at_margin=0.0,
+            sigmoid="linear")
+        reach_dist = float(np.linalg.norm(
+            self._pinch_position(physics) - self._prop.position(physics)))
+        reach = rewards.tolerance(reach_dist, bounds=(0, 0.05),
+                                  margin=0.3)
+        return 0.8 * lift + 0.2 * reach
+
+
+def _make(prop_name, obs_settings):
+    from dm_control_tpu import composer
+
+    if prop_name == "brick":
+        prop = Brick(name="brick")
+    else:
+        prop = Primitive(geom_type="box", size=(0.06, 0.06, 0.06),
+                         mass=0.3, name="large_box",
+                         friction="1.5 0.01 0.001")
+    task = Lift(prop, obs_settings=obs_settings)
+    return composer.Environment(task, time_limit=10.0)
+
+
+@registry.add(registry.tags.FEATURES, registry.tags.EASY)
+def lift_brick_features():
+    return _make("brick", obs_mod.PERFECT_FEATURES)
+
+
+@registry.add(registry.tags.VISION, registry.tags.EASY)
+def lift_brick_vision():
+    return _make("brick", obs_mod.VISION)
+
+
+@registry.add(registry.tags.FEATURES, registry.tags.EASY)
+def lift_large_box_features():
+    return _make("large_box", obs_mod.PERFECT_FEATURES)
+
+
+@registry.add(registry.tags.VISION, registry.tags.EASY)
+def lift_large_box_vision():
+    return _make("large_box", obs_mod.VISION)

@@ -1,0 +1,96 @@
+"""Manipulation library tests
+(reference: dm_control/manipulation/manipulation_test.py)."""
+
+import numpy as np
+import pytest
+
+import dm_control_tpu.manipulation as manipulation
+
+# The reference's full task list (dm_control.manipulation.ALL).
+_REFERENCE_ALL = {
+    "stack_2_bricks_features", "stack_2_bricks_vision",
+    "stack_2_bricks_moveable_base_features",
+    "stack_2_bricks_moveable_base_vision",
+    "stack_3_bricks_features", "stack_3_bricks_vision",
+    "stack_3_bricks_random_order_features",
+    "stack_2_of_3_bricks_random_order_features",
+    "stack_2_of_3_bricks_random_order_vision",
+    "reassemble_3_bricks_fixed_order_features",
+    "reassemble_3_bricks_fixed_order_vision",
+    "reassemble_5_bricks_random_order_features",
+    "reassemble_5_bricks_random_order_vision",
+    "lift_brick_features", "lift_brick_vision",
+    "lift_large_box_features", "lift_large_box_vision",
+    "place_brick_features", "place_brick_vision",
+    "place_cradle_features", "place_cradle_vision",
+    "reach_duplo_features", "reach_duplo_vision",
+    "reach_site_features", "reach_site_vision",
+}
+
+_FAST_TASKS = ["reach_site_features", "reach_duplo_features",
+               "lift_brick_features", "place_brick_features",
+               "stack_2_bricks_features"]
+
+
+def test_all_names_match_reference():
+    assert set(manipulation.ALL) == _REFERENCE_ALL
+
+
+def test_tags():
+    feats = manipulation.get_environments_by_tag("features")
+    vision = manipulation.get_environments_by_tag("vision")
+    assert set(feats) == {n for n in _REFERENCE_ALL
+                          if n.endswith("_features")}
+    assert set(vision) == {n for n in _REFERENCE_ALL
+                           if n.endswith("_vision")}
+
+
+@pytest.mark.parametrize("name", _FAST_TASKS)
+def test_task_runs(name):
+    env = manipulation.load(name, seed=42)
+    ts = env.reset()
+    assert ts.first()
+    spec = env.action_spec()
+    rng = np.random.RandomState(42)
+    for _ in range(5):
+        a = rng.uniform(spec.minimum, spec.maximum, spec.shape)
+        ts = env.step(a)
+        assert np.isfinite(ts.reward)
+        for v in ts.observation.values():
+            assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_features_observations_include_proprio_and_prop_pose():
+    env = manipulation.load("lift_brick_features", seed=0)
+    obs = env.reset().observation
+    assert "arm/joints_pos" in obs
+    assert "arm/joints_torque" in obs
+    assert "brick/position" in obs
+
+
+def test_vision_excludes_privileged_prop_state():
+    env = manipulation.load("lift_brick_vision", seed=0)
+    obs = env.reset().observation
+    assert "arm/joints_pos" in obs
+    assert "brick/position" not in obs
+
+
+def test_lift_brick_settles_and_reward_zero_at_rest():
+    env = manipulation.load("lift_brick_features", seed=0)
+    env.reset()
+    spec = env.action_spec()
+    for _ in range(25):
+        ts = env.step(np.zeros(spec.shape))
+    z = float(ts.observation["brick/position"][2])
+    assert 0.01 < z < 0.05  # resting on the ground, not launched
+    assert ts.reward < 0.05
+
+
+def test_reach_reward_increases_near_target():
+    env = manipulation.load("reach_site_features", seed=0)
+    env.reset()
+    task = env.task
+    physics = env.physics
+    # reward is max when pinch site is at the target
+    task._target_pos = np.asarray(task._pinch_position(physics))
+    assert task.get_reward(physics) == pytest.approx(1.0)
