@@ -91,6 +91,12 @@ class LQRLevel(base.Task):
             raise ValueError("control_cost_coef must be positive.")
         self._control_cost_coef = control_cost_coef
 
+    @property
+    def control_cost_coef(self):
+        """reference lqr.py LQRLevel.control_cost_coef (used by
+        suite/lqr_solver.py)."""
+        return self._control_cost_coef
+
     def init(self, m, qpos, qvel, rc, diff):
         unit = rc.randn(m.nq)
         if rc.is_numpy:
