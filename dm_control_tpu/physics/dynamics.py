@@ -113,11 +113,15 @@ def passive(m: Model, d: Data) -> Data:
 
     # fluid forces (inertia-box model): swimmer/fish locomotion depends on
     # these (reference models set option density/viscosity).
+    # NB: the gate must stay in numpy — a jnp comparison on closed-over
+    # model constants is staged during jit tracing, so its bool() would
+    # raise and silently keep the fluid term in every compiled graph
+    # (~650 HLO ops per forward on a fluid-free model).
     use_fluid = True
     try:
         use_fluid = bool(float(m.opt.density) != 0.0 or
                          float(m.opt.viscosity) != 0.0 or
-                         bool(jnp.any(m.opt.wind != 0.0)))
+                         bool(np.any(np.asarray(m.opt.wind) != 0.0)))
     except Exception:
         pass  # traced option values: keep the fluid term
     if use_fluid:

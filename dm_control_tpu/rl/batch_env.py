@@ -58,9 +58,33 @@ class BatchEnv:
         else:
             self.step_limit = int(round(time_limit / control_timestep))
         self._dtype = dtype
+        # Between steps only the true physics state is carried; every
+        # derived field (FK frames, contacts, forces, sensors) is recomputed
+        # by forward() next step.  Dropping them from the state pytree (None
+        # = empty subtree) keeps a lax.scan rollout carry to ~5 buffers
+        # instead of ~50 — on TPU the full-Data carry costs ~2x wall time
+        # in loop-carried copies (kernel-count bound).
+        self._template = make_data(model, dtype)
+        self._state_fields = ("qpos", "qvel", "act", "qacc_warmstart",
+                              "time")
+        self._derived_fields = tuple(
+            f for f in type(self._template).__dataclass_fields__
+            if f not in self._state_fields
+            and getattr(self._template, f) is not None)
 
         self.reset = jax.jit(jax.vmap(self._reset_one))
         self.step = jax.jit(jax.vmap(self._step_one))
+
+    # -- stripped-carry helpers ---------------------------------------------
+
+    def _strip(self, d):
+        """Drops derived fields from the carry pytree."""
+        return d.replace(**{f: None for f in self._derived_fields})
+
+    def _unstrip(self, d):
+        """Rebuilds a full Data from carried state + the zero template."""
+        return self._template.replace(
+            **{f: getattr(d, f) for f in self._state_fields})
 
     # -- single-env pure functions (vmapped above) --------------------------
 
@@ -123,12 +147,12 @@ class BatchEnv:
             reward=jnp.asarray(0.0, dtype),
             discount=jnp.asarray(1.0, dtype),
             observation=obs)
-        return state, ts
+        return state.replace(data=self._strip(state.data)), ts
 
     def _plain_step(self, state: EnvState, action):
         m = apply_model_diff(self.model, state.model_diff)
         task = self.task
-        d = task.before_step(m, state.data, action)
+        d = task.before_step(m, self._unstrip(state.data), action)
         d = jax.lax.fori_loop(0, self.n_sub_steps,
                               lambda i, dd: engine.step(m, dd), d) \
             if self.n_sub_steps > 1 else engine.step(m, d)
@@ -154,7 +178,8 @@ class BatchEnv:
         ts = TimeStepData(
             step_type=jnp.where(last, LAST, MID).astype(jnp.int32),
             reward=reward, discount=discount, observation=obs)
-        return state.replace(needs_reset=last), ts
+        return state.replace(data=self._strip(state.data),
+                             needs_reset=last), ts
 
     def _step_one(self, state: EnvState, action):
         if not self.autoreset:
