@@ -1,0 +1,610 @@
+"""Fused scalar-chain fast path: the whole physics step as one SSA graph.
+
+The general engine (kinematics/inertia/dynamics/constraints/solver) is
+written over (nbody, ...) arrays with gather/scatter indexing so one code
+path serves every model.  For tiny models that structure is the
+bottleneck on TPU: a batched cartpole step compiles to ~1250 fused
+kernels, and at ~5-20us launch+HBM-roundtrip per kernel the rollout is
+kernel-count bound, not FLOP bound (measured: 28ms per 8192-env step,
+of which the arithmetic is microseconds).
+
+This module re-derives the exact same step — same formulas, same
+constants, verified to f32 round-off against the general engine — as a
+single-environment straight-line program: every per-body / per-dof
+quantity is its own SSA value, all indexing is resolved at trace time
+from the static Model (numpy), and there are no gathers, scatters,
+stacks, or linalg calls (small Cholesky factorizations are unrolled to
+scalar arithmetic).  Under jax.vmap every value becomes a (B,)-shaped
+lane and XLA fuses the whole step into a handful of elementwise kernels.
+
+Applicability (checked statically by ``applicable``): scalar joints only
+(hinge/slide), no tendons/equality/activation states, joint-transmission
+fixed-gain actuators, no possible contact rows, Euler or RK4.  This
+covers the suite's classic-control tier (pendulum, cartpole variants,
+reacher, ...).  Models that fall outside use the general engine
+unchanged.
+
+Reference semantics mirrored from: physics/kinematics.py (FK, com_pos,
+com_vel), inertia.py (CRB), dynamics.py (RNE, passive), actuation.py,
+constraints.py (limit rows, kbi), solver.py (projected Newton + exact
+line search), engine.py (euler implicit damping, RK4 tableau) — which in
+turn cite the MuJoCo originals.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dm_control_tpu.physics import mathx as mx
+from dm_control_tpu.physics.model import (BiasType, DisableBit, DynType,
+                                          GainType, IntegratorType,
+                                          JointType, Model, TrnType)
+
+_MINVAL = 1e-15
+_MINIMP, _MAXIMP = 0.0001, 0.9999
+
+
+def applicable(m: Model) -> bool:
+    """True when the fused scalar-chain step reproduces engine.step."""
+    try:
+        from dm_control_tpu.physics import collision
+
+        if m.njnt == 0 or m.nv != m.njnt or m.na != 0:
+            return False
+        if m.nv > 8 or m.ntendon != 0 or getattr(m, "neq", 0) != 0:
+            return False
+        if any(int(t) not in (int(JointType.HINGE), int(JointType.SLIDE))
+               for t in np.asarray(m.jnt_type)):
+            return False
+        if collision.contact_rows_static(m)[0]:
+            return False
+        if np.any(np.asarray(m.dof_frictionloss) != 0):
+            return False
+        for u in range(m.nu):
+            if int(m.actuator_trntype[u]) not in (
+                    int(TrnType.JOINT), int(TrnType.JOINTINPARENT)):
+                return False
+            if int(m.actuator_dyntype[u]) != int(DynType.NONE):
+                return False
+            if int(np.asarray(m.actuator_gaintype)[u]) != int(
+                    GainType.FIXED):
+                return False
+            if int(np.asarray(m.actuator_biastype)[u]) != int(
+                    BiasType.NONE):
+                return False
+        integ = int(np.asarray(m.opt.integrator))
+        if integ not in (int(IntegratorType.EULER),
+                         int(IntegratorType.RK4)):
+            return False
+        # CONTACT/FILTERPARENT disable bits are no-ops here (no contact
+        # rows exist anyway); any other disable flag changes semantics the
+        # fast path doesn't model.
+        harmless = int(DisableBit.CONTACT) | int(DisableBit.FILTERPARENT)
+        if int(np.asarray(m.opt.disableflags)) & ~harmless:
+            return False
+        if float(np.asarray(m.opt.density)) != 0.0 or \
+                float(np.asarray(m.opt.viscosity)) != 0.0:
+            return False
+        if np.any(np.asarray(m.opt.wind) != 0.0):
+            return False
+        return True
+    except Exception:
+        return False
+
+
+# -- unrolled small linear algebra ------------------------------------------
+
+
+def _chol_solve(M, rhs, n):
+    """Solves M x = rhs with M given as an n x n nested list of scalars
+    (symmetric PD) and rhs a list of scalars — fully unrolled."""
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = M[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][i] = jnp.sqrt(jnp.maximum(s, _MINVAL))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = rhs[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+def build_step(m: Model):
+    """Returns step1(qpos, qvel, warmstart, ctrl) -> (qpos', qvel', warm')
+    for a single environment, or None if the model doesn't qualify.
+
+    All Model metadata is read into numpy here; the returned closure
+    contains only static python structure + jnp scalar arithmetic.
+    """
+    if not applicable(m):
+        return None
+
+    nbody, njnt, nv, nu = m.nbody, m.njnt, int(m.nv), int(m.nu)
+    parent = [int(b) for b in np.asarray(m.body_parentid)]
+    body_pos = np.asarray(m.body_pos, np.float64)
+    body_quat = np.asarray(m.body_quat, np.float64)
+    body_mass = np.asarray(m.body_mass, np.float64)
+    body_inertia = np.asarray(m.body_inertia, np.float64)
+    body_ipos = np.asarray(m.body_ipos, np.float64)
+    body_iquat = np.asarray(m.body_iquat, np.float64)
+    body_rootid = [int(b) for b in np.asarray(m.body_rootid)]
+    subtreemass = np.asarray(m.body_subtreemass, np.float64)
+    jnt_bodyid = [int(j) for j in np.asarray(m.jnt_bodyid)]
+    jnt_type = [int(t) for t in np.asarray(m.jnt_type)]
+    jnt_axis = np.asarray(m.jnt_axis, np.float64)
+    jnt_pos = np.asarray(m.jnt_pos, np.float64)
+    jnt_qposadr = [int(a) for a in np.asarray(m.jnt_qposadr)]
+    jnt_dofadr = [int(a) for a in np.asarray(m.jnt_dofadr)]
+    qpos0 = np.asarray(m.qpos0, np.float64)
+    qpos_spring = np.asarray(m.qpos_spring, np.float64)
+    jnt_stiffness = np.asarray(m.jnt_stiffness, np.float64)
+    dof_damping = np.asarray(m.dof_damping, np.float64)
+    dof_armature = np.asarray(m.dof_armature, np.float64)
+    dof_invweight0 = np.asarray(m.dof_invweight0, np.float64)
+    gravity = np.asarray(m.opt.gravity, np.float64)
+    dt = float(np.asarray(m.opt.timestep))
+    integ = int(np.asarray(m.opt.integrator))
+    tol = float(np.asarray(m.opt.tolerance))
+    iterations = int(np.asarray(m.opt.iterations))
+    ls_iterations = min(int(np.asarray(m.opt.ls_iterations)), 12)
+    meaninertia = float(np.asarray(m.stat.meaninertia))
+    scale = meaninertia * max(1, nv)
+
+    # joints of each body, in order
+    body_joints = [[] for _ in range(nbody)]
+    for j in range(njnt):
+        body_joints[jnt_bodyid[j]].append(j)
+    # ancestor dof chains (dofs are 1:1 with joints here)
+    def chain(b):
+        out = []
+        while b != 0:
+            out.extend(jnt_dofadr[j] for j in body_joints[b])
+            b = parent[b]
+        return sorted(out)
+    body_chain = [chain(b) for b in range(nbody)]
+    dof_body = [0] * nv
+    for j in range(njnt):
+        dof_body[jnt_dofadr[j]] = jnt_bodyid[j]
+    # topological order (parents first) — model compiler guarantees it
+    order = list(range(1, nbody))
+
+    # actuators
+    act_jid = [int(m.actuator_trnid[u][0]) for u in range(nu)]
+    act_gear0 = np.asarray(m.actuator_gear, np.float64)[:, 0] if nu else []
+    act_ctrllim = [bool(l) for l in np.asarray(m.actuator_ctrllimited)] \
+        if nu else []
+    act_ctrlrange = np.asarray(m.actuator_ctrlrange, np.float64) if nu \
+        else []
+    act_forcelim = [bool(l) for l in np.asarray(m.actuator_forcelimited)] \
+        if nu else []
+    act_forcerange = np.asarray(m.actuator_forcerange, np.float64) if nu \
+        else []
+
+    # limit rows (static): (dof, sign, lo/hi bound, margin, solref, solimp)
+    limit_rows = []
+    jnt_range = np.asarray(m.jnt_range, np.float64)
+    jnt_margin = np.asarray(m.jnt_margin, np.float64)
+    jnt_solref = np.asarray(m.jnt_solref, np.float64)
+    jnt_solimp = np.asarray(m.jnt_solimp, np.float64)
+    for j in range(njnt):
+        if not int(np.asarray(m.jnt_limited)[j]):
+            continue
+        dadr = jnt_dofadr[j]
+        limit_rows.append((jnt_qposadr[j], dadr, +1.0, jnt_range[j, 0],
+                           jnt_margin[j], jnt_solref[j], jnt_solimp[j],
+                           dof_invweight0[dadr]))
+        limit_rows.append((jnt_qposadr[j], dadr, -1.0, jnt_range[j, 1],
+                           jnt_margin[j], jnt_solref[j], jnt_solimp[j],
+                           dof_invweight0[dadr]))
+    nefc = len(limit_rows)
+
+    def _kbi(solref, solimp, pos):
+        """constraints.kbi on scalars (reference constraints.py:60-90)."""
+        dmin, dmax, width, mid, power = solimp
+        x = jnp.clip(jnp.abs(pos) / max(width, _MINVAL), 0.0, 1.0)
+        mid = min(max(mid, _MINIMP), _MAXIMP)
+        power = max(power, 1.0)
+        y_lo = (x / mid) ** power * mid
+        y_hi = 1.0 - ((1.0 - x) / (1.0 - mid)) ** power * (1.0 - mid)
+        y = jnp.where(x < mid, y_lo, y_hi)
+        imp = jnp.clip(dmin + y * (dmax - dmin), _MINIMP, _MAXIMP)
+        dmax_c = min(max(dmax, _MINIMP), _MAXIMP)
+        timeconst, dampratio = float(solref[0]), float(solref[1])
+        if timeconst <= 0:  # direct
+            k = -timeconst * imp
+            b = -dampratio
+        else:
+            tc = max(timeconst, 2.0 * dt)
+            k = imp / max((dmax_c * tc * dampratio) ** 2, _MINVAL)
+            b = 2.0 / max(dmax_c * tc, _MINVAL)
+        return k, b, imp
+
+    def fk(qpos):
+        """FK (kinematics.py:50) as per-body SSA values."""
+        dtype = qpos.dtype
+        q = [qpos[i] for i in range(nv)]
+        xpos = [jnp.zeros(3, dtype)] * nbody
+        xquat = [None] * nbody
+        xquat[0] = jnp.array([1.0, 0, 0, 0], dtype)
+        xanchor = [None] * njnt
+        xaxis = [None] * njnt
+        for b in order:
+            p = parent[b]
+            pq = xquat[p]
+            pos = xpos[p] + mx.rotate(jnp.asarray(body_pos[b], dtype), pq)
+            quat = pq if np.allclose(body_quat[b], [1, 0, 0, 0]) else \
+                mx.quat_mul(pq, jnp.asarray(body_quat[b], dtype))
+            for j in body_joints[b]:
+                qadr = jnt_qposadr[j]
+                jp = jnp.asarray(jnt_pos[j], dtype)
+                ja = jnp.asarray(jnt_axis[j], dtype)
+                if jnt_type[j] == int(JointType.SLIDE):
+                    axis_w = mx.rotate(ja, quat)
+                    pos = pos + axis_w * (q[qadr] - qpos0[qadr])
+                    xanchor[j] = pos + mx.rotate(jp, quat)
+                    xaxis[j] = axis_w
+                else:  # HINGE
+                    anchor = pos + mx.rotate(jp, quat)
+                    angle = q[qadr] - qpos0[qadr]
+                    quat = mx.quat_mul(
+                        quat, mx.axis_angle_to_quat(ja, angle))
+                    pos = anchor - mx.rotate(jp, quat)
+                    xanchor[j] = anchor
+                    xaxis[j] = mx.rotate(ja, quat)
+            xpos[b] = pos
+            xquat[b] = quat
+        return xpos, xquat, xanchor, xaxis
+
+    geom_bodyid = [int(b) for b in np.asarray(m.geom_bodyid)] \
+        if m.ngeom else []
+    geom_pos = np.asarray(m.geom_pos, np.float64) if m.ngeom else None
+    geom_quat = np.asarray(m.geom_quat, np.float64) if m.ngeom else None
+    site_bodyid = [int(b) for b in np.asarray(m.site_bodyid)] \
+        if m.nsite else []
+    site_pos = np.asarray(m.site_pos, np.float64) if m.nsite else None
+    site_quat = np.asarray(m.site_quat, np.float64) if m.nsite else None
+
+    def fk_fields(qpos):
+        """Stacked kinematics() output fields for observation/reward
+        (the fields engine.fwd_position materializes in Data)."""
+        dtype = qpos.dtype
+        xpos, xquat, xanchor, xaxis = fk(qpos)
+        xmat = [mx.quat_to_mat(xquat[b]) for b in range(nbody)]
+        xipos = [xpos[b] + xmat[b] @ jnp.asarray(body_ipos[b], dtype)
+                 for b in range(nbody)]
+        ximat = [xmat[b] if np.allclose(body_iquat[b], [1, 0, 0, 0])
+                 else xmat[b] @ mx.quat_to_mat(
+                     jnp.asarray(body_iquat[b], dtype))
+                 for b in range(nbody)]
+        out = dict(
+            xpos=jnp.stack(xpos), xquat=jnp.stack(xquat),
+            xmat=jnp.stack(xmat), xipos=jnp.stack(xipos),
+            ximat=jnp.stack(ximat),
+            jnt_xanchor=jnp.stack(xanchor), jnt_xaxis=jnp.stack(xaxis))
+        if m.ngeom:
+            out["geom_xpos"] = jnp.stack([
+                xpos[geom_bodyid[g]] + xmat[geom_bodyid[g]]
+                @ jnp.asarray(geom_pos[g], dtype) for g in range(m.ngeom)])
+            out["geom_xmat"] = jnp.stack([
+                xmat[geom_bodyid[g]] if np.allclose(
+                    geom_quat[g], [1, 0, 0, 0])
+                else xmat[geom_bodyid[g]] @ mx.quat_to_mat(
+                    jnp.asarray(geom_quat[g], dtype))
+                for g in range(m.ngeom)])
+        if m.nsite:
+            out["site_xpos"] = jnp.stack([
+                xpos[site_bodyid[s]] + xmat[site_bodyid[s]]
+                @ jnp.asarray(site_pos[s], dtype) for s in range(m.nsite)])
+            out["site_xmat"] = jnp.stack([
+                xmat[site_bodyid[s]] if np.allclose(
+                    site_quat[s], [1, 0, 0, 0])
+                else xmat[site_bodyid[s]] @ mx.quat_to_mat(
+                    jnp.asarray(site_quat[s], dtype))
+                for s in range(m.nsite)])
+        return out
+
+    def smooth(qpos, qvel, ctrl):
+        """FK + CRB + RNE + passive + actuation; returns
+        (M nested-list, qfrc_smooth list, qacc_smooth list)."""
+        dtype = qpos.dtype
+        q = [qpos[i] for i in range(nv)]
+        v = [qvel[i] for i in range(nv)]
+
+        xpos, xquat, xanchor, xaxis = fk(qpos)
+        xipos = [None] * nbody
+        ximat = [None] * nbody
+        for b in range(nbody):
+            xm = mx.quat_to_mat(xquat[b])
+            xipos[b] = xpos[b] + xm @ jnp.asarray(body_ipos[b], dtype)
+            ximat[b] = (xm if np.allclose(body_iquat[b], [1, 0, 0, 0])
+                        else xm @ mx.quat_to_mat(
+                            jnp.asarray(body_iquat[b], dtype)))
+
+        # ---- com_pos (kinematics.py:130) ----
+        acc = [body_mass[b] * xipos[b] for b in range(nbody)]
+        for b in reversed(order):
+            acc[parent[b]] = acc[parent[b]] + acc[b]
+        subtree_com = [acc[b] / max(subtreemass[b], _MINVAL)
+                       for b in range(nbody)]
+        cinert = [None] * nbody
+        for b in range(nbody):
+            offset = xipos[b] - subtree_com[body_rootid[b]]
+            cinert[b] = mx.inert_from_body(
+                jnp.asarray(body_mass[b], dtype),
+                jnp.asarray(body_inertia[b], dtype), offset, ximat[b])
+        cdof = [None] * nv
+        for j in range(njnt):
+            dadr = jnt_dofadr[j]
+            com = subtree_com[body_rootid[jnt_bodyid[j]]]
+            if jnt_type[j] == int(JointType.SLIDE):
+                cdof[dadr] = jnp.concatenate(
+                    [jnp.zeros(3, dtype), xaxis[j]])
+            else:
+                cdof[dadr] = jnp.concatenate(
+                    [xaxis[j], jnp.cross(xaxis[j], com - xanchor[j])])
+
+        # ---- CRB (inertia.py:19) ----
+        crb = list(cinert)
+        for b in reversed(order):
+            crb[parent[b]] = crb[parent[b]] + crb[b]
+        M = [[None] * nv for _ in range(nv)]
+        for i in range(nv):
+            f_i = mx.inert_mul(crb[dof_body[i]], cdof[i])
+            for jdof in body_chain[dof_body[i]]:
+                if jdof <= i:
+                    M[i][jdof] = jnp.dot(f_i, cdof[jdof])
+                    M[jdof][i] = M[i][jdof]
+        for i in range(nv):
+            M[i][i] = M[i][i] + dof_armature[i]
+            for jdof in range(nv):
+                if M[i][jdof] is None:
+                    M[i][jdof] = jnp.zeros((), dtype)
+
+        # ---- com_vel (kinematics.py:181) ----
+        cvel = [jnp.zeros(6, dtype)] * nbody
+        cdof_dot = [None] * nv
+        for b in order:
+            vel = cvel[parent[b]]
+            for j in body_joints[b]:
+                dadr = jnt_dofadr[j]
+                cdof_dot[dadr] = mx.motion_cross(vel, cdof[dadr])
+                vel = vel + cdof[dadr] * v[dadr]
+            cvel[b] = vel
+
+        # ---- RNE (dynamics.py:19) ----
+        cacc0 = jnp.concatenate([jnp.zeros(3, dtype),
+                                 -jnp.asarray(gravity, dtype)])
+        cacc = [cacc0] * nbody
+        for b in order:
+            a = cacc[parent[b]]
+            for j in body_joints[b]:
+                dadr = jnt_dofadr[j]
+                a = a + cdof_dot[dadr] * v[dadr]
+            cacc[b] = a
+        cfrc = [mx.inert_mul(cinert[b], cacc[b])
+                + mx.force_cross(cvel[b], mx.inert_mul(cinert[b], cvel[b]))
+                for b in range(nbody)]
+        for b in reversed(order):
+            cfrc[parent[b]] = cfrc[parent[b]] + cfrc[b]
+        qfrc_bias = [jnp.dot(cdof[i], cfrc[dof_body[i]])
+                     for i in range(nv)]
+
+        # ---- passive (dynamics.py:59) ----
+        qfrc_passive = [-dof_damping[i] * v[i] for i in range(nv)]
+        for j in range(njnt):
+            if jnt_stiffness[j] != 0:
+                qadr, dadr = jnt_qposadr[j], jnt_dofadr[j]
+                qfrc_passive[dadr] = qfrc_passive[dadr] - \
+                    jnt_stiffness[j] * (q[qadr] - qpos_spring[qadr])
+
+        # ---- actuation (actuation.py:20,93) ----
+        qfrc_act = [jnp.zeros((), dtype)] * nv
+        for u in range(nu):
+            c = ctrl[u]
+            if act_ctrllim[u]:
+                c = jnp.clip(c, act_ctrlrange[u][0], act_ctrlrange[u][1])
+            force = act_gear0[u] * c
+            if act_forcelim[u]:
+                force = jnp.clip(force, act_forcerange[u][0],
+                                 act_forcerange[u][1])
+            dadr = jnt_dofadr[act_jid[u]]
+            qfrc_act[dadr] = qfrc_act[dadr] + force
+        qfrc_smooth = [qfrc_passive[i] - qfrc_bias[i] + qfrc_act[i]
+                       for i in range(nv)]
+        qacc_smooth = _chol_solve(M, qfrc_smooth, nv)
+        return M, qfrc_smooth, qacc_smooth, q, v
+
+    # ---- constraint rows + Newton (constraints.py / solver.py) ----
+
+    def constraint(M, qacc_smooth, warm, q, v, dtype):
+        if nefc == 0:
+            return qacc_smooth, [jnp.zeros((), dtype)] * nv
+        # rows
+        aref, Dv, rdof, rsign, active = [], [], [], [], []
+        for (qadr, dadr, sign, bound, margin, solref, solimp,
+             invw) in limit_rows:
+            dist = sign * (q[qadr] - bound)
+            pos = dist - margin
+            vel = v[dadr] * sign
+            k, b, imp = _kbi(solref, solimp, pos)
+            aref.append(-b * vel - k * pos)
+            r_reg = jnp.maximum(_MINVAL, (1.0 - imp) / imp * invw)
+            act = pos < 0
+            Dv.append(jnp.where(act, 1.0 / r_reg, 0.0))
+            rdof.append(dadr)
+            rsign.append(sign)
+            active.append(act)
+
+        def jar_of(x):
+            return [rsign[r] * x[rdof[r]] - aref[r] for r in range(nefc)]
+
+        def cost_terms(jar):
+            cost, dcost, hw = [], [], []
+            for r in range(nefc):
+                quad = jar[r] < 0
+                cost.append(jnp.where(quad, 0.5 * Dv[r] * jar[r] * jar[r],
+                                      0.0))
+                dcost.append(jnp.where(quad, Dv[r] * jar[r], 0.0))
+                hw.append(jnp.where(quad, Dv[r], 0.0))
+            return cost, dcost, hw
+
+        def total_cost(x):
+            jar = jar_of(x)
+            cost, _, _ = cost_terms(jar)
+            quad = jnp.zeros((), dtype)
+            for i in range(nv):
+                for jdof in range(nv):
+                    quad = quad + 0.5 * (x[i] - qacc_smooth[i]) * \
+                        M[i][jdof] * (x[jdof] - qacc_smooth[jdof])
+            return quad + sum(cost)
+
+        c0 = total_cost(qacc_smooth)
+        warm_l = [warm[i] for i in range(nv)]
+        cw = total_cost(warm_l)
+        use_warm = cw < c0
+        x0 = [jnp.where(use_warm, warm_l[i], qacc_smooth[i])
+              for i in range(nv)]
+        cost0 = jnp.minimum(cw, c0)
+
+        def cond(carry):
+            x, cost, improvement, gnorm, it = carry
+            return jnp.any((it < iterations)
+                           & (improvement > tol * scale)
+                           & (gnorm > tol * scale))
+
+        def body(carry):
+            x, cost, improvement, gnorm, it = carry
+            live = ((it < iterations) & (improvement > tol * scale)
+                    & (gnorm > tol * scale))
+            jar = jar_of(x)
+            _, dcost, hw = cost_terms(jar)
+            grad = [None] * nv
+            for i in range(nv):
+                g = jnp.zeros((), dtype)
+                for jdof in range(nv):
+                    g = g + M[i][jdof] * (x[jdof] - qacc_smooth[jdof])
+                grad[i] = g
+            for r in range(nefc):
+                grad[rdof[r]] = grad[rdof[r]] + rsign[r] * dcost[r]
+            H = [[M[i][jdof] for jdof in range(nv)] for i in range(nv)]
+            for r in range(nefc):
+                dd = rdof[r]
+                H[dd][dd] = H[dd][dd] + hw[r]
+            p = _chol_solve(H, [-g for g in grad], nv)
+
+            jp = [rsign[r] * p[rdof[r]] for r in range(nefc)]
+            mp = [None] * nv
+            for i in range(nv):
+                s = jnp.zeros((), dtype)
+                for jdof in range(nv):
+                    s = s + M[i][jdof] * p[jdof]
+                mp[i] = s
+            p_mp = sum(p[i] * mp[i] for i in range(nv))
+            x_as = [x[i] - qacc_smooth[i] for i in range(nv)]
+
+            def ls_body(k, alpha):
+                jar_a = [jar[r] + alpha * jp[r] for r in range(nefc)]
+                _, dcost_a, hw_a = cost_terms(jar_a)
+                d1 = sum((x_as[i] + alpha * p[i]) * mp[i]
+                         for i in range(nv))
+                d1 = d1 + sum(dcost_a[r] * jp[r] for r in range(nefc))
+                d2 = p_mp + sum(hw_a[r] * jp[r] * jp[r]
+                                for r in range(nefc))
+                return alpha - d1 / jnp.maximum(d2, _MINVAL)
+
+            alpha = jax.lax.fori_loop(0, ls_iterations, ls_body,
+                                      jnp.asarray(1.0, dtype))
+            alpha = jnp.clip(alpha, 0.0, 4.0)
+            x_try = [x[i] + alpha * p[i] for i in range(nv)]
+            cost_try = total_cost(x_try)
+            better = (cost_try < cost) & live
+            x_new = [jnp.where(better, x_try[i], x[i]) for i in range(nv)]
+            cost_new = jnp.where(better, cost_try, cost)
+            improvement_new = jnp.where(live, cost - cost_new, improvement)
+            g2 = sum(g * g for g in grad)
+            gnorm_new = jnp.where(live, jnp.sqrt(g2), gnorm)
+            return (tuple(x_new), cost_new, improvement_new, gnorm_new,
+                    it + 1)
+
+        init = (tuple(x0), cost0, jnp.asarray(jnp.inf, dtype),
+                jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32))
+        x, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+        x = list(x)
+        jar = jar_of(x)
+        _, dcost, _ = cost_terms(jar)
+        qfrc_con = [jnp.zeros((), dtype)] * nv
+        for r in range(nefc):
+            qfrc_con[rdof[r]] = qfrc_con[rdof[r]] - rsign[r] * dcost[r]
+        return x, qfrc_con
+
+    has_damping = bool(np.any(dof_damping))
+
+    def forward(qpos, qvel, warm, ctrl):
+        """qacc + (qfrc_smooth + qfrc_constraint) for one state."""
+        M, qfrc_smooth, qacc_smooth, q, v = smooth(qpos, qvel, ctrl)
+        qacc, qfrc_con = constraint(M, qacc_smooth, warm, q, v, qpos.dtype)
+        return M, qacc, qfrc_smooth, qfrc_con
+
+    def euler_advance(M, qacc, qfrc_smooth, qfrc_con, qpos, qvel):
+        dtype = qpos.dtype
+        if has_damping:
+            Mh = [[M[i][jdof] + (dt * dof_damping[i] if i == jdof else 0.0)
+                   for jdof in range(nv)] for i in range(nv)]
+            rhs = [qfrc_smooth[i] + qfrc_con[i] for i in range(nv)]
+            qacc = _chol_solve(Mh, rhs, nv)
+        qvel_n = jnp.stack([qvel[i] + dt * qacc[i] for i in range(nv)])
+        qpos_n = qpos + dt * qvel_n
+        return qpos_n, qvel_n
+
+    _RK4_A = ((0.5, 0.0, 0.0), (0.0, 0.5, 0.0), (0.0, 0.0, 1.0))
+    _RK4_B = (1.0 / 6, 1.0 / 3, 1.0 / 3, 1.0 / 6)
+
+    def step1(qpos, qvel, warm, ctrl):
+        """One physics step; mirrors engine.step for this model class."""
+        M, qacc, qfs, qfc = forward(qpos, qvel, warm, ctrl)
+        warm_new = jnp.stack(qacc)
+        if integ == int(IntegratorType.EULER):
+            qpos_n, qvel_n = euler_advance(M, qacc, qfs, qfc, qpos, qvel)
+            return qpos_n, qvel_n, warm_new
+        # RK4 (engine.py:162)
+        qvels = [qvel]
+        qaccs = [jnp.stack(qacc)]
+        for i in range(3):
+            arow = _RK4_A[i]
+            dqvel = sum(a * qa for a, qa in zip(arow, qaccs) if a)
+            vel_i = qvel + dt * dqvel
+            dvel_pos = sum(a * qv for a, qv in zip(arow, qvels) if a)
+            qpos_i = qpos + dt * dvel_pos
+            _, qacc_i, _, _ = forward(qpos_i, vel_i, warm_new, ctrl)
+            qvels.append(vel_i)
+            qaccs.append(jnp.stack(qacc_i))
+        dvel = sum(b * qv for b, qv in zip(_RK4_B, qvels))
+        dacc = sum(b * qa for b, qa in zip(_RK4_B, qaccs))
+        qpos_n = qpos + dt * dvel
+        qvel_n = qvel + dt * dacc
+        return qpos_n, qvel_n, warm_new
+
+    step1.fk_fields = fk_fields
+    # fused observation FK is only equivalent to _observe's
+    # fwd_position+sensor pipeline when the model has no sensors
+    step1.fk_observe_ok = (m.nsensor == 0)
+    return step1

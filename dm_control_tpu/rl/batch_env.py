@@ -72,6 +72,16 @@ class BatchEnv:
             if f not in self._state_fields
             and getattr(self._template, f) is not None)
 
+        # fused scalar-chain fast path (physics/fastpath.py): exact same
+        # step for qualifying small models as one SSA graph — kernel-count
+        # bound rollouts go ~5-10x faster.  Disabled per-env-model when a
+        # model_diff overrides fields the fast path folded into constants.
+        from dm_control_tpu.physics import fastpath as _fastpath
+
+        self._fast_step1 = None
+        if not task.initial_model_diff(model):
+            self._fast_step1 = _fastpath.build_step(model)
+
         self.reset = jax.jit(jax.vmap(self._reset_one))
         self.step = jax.jit(jax.vmap(self._step_one))
 
@@ -131,6 +141,10 @@ class BatchEnv:
 
         m = apply_model_diff(self.model, state.model_diff)
         d = state.data
+        if (self._fast_step1 is not None
+                and self._fast_step1.fk_observe_ok):
+            d = d.replace(**self._fast_step1.fk_fields(d.qpos))
+            return state.replace(data=d), self.task.observation(m, d)
         d = engine.fwd_position(m, d)
         d = sens.sensor_pos(m, d)
         d = engine.fwd_velocity(m, d)
@@ -153,9 +167,23 @@ class BatchEnv:
         m = apply_model_diff(self.model, state.model_diff)
         task = self.task
         d = task.before_step(m, self._unstrip(state.data), action)
-        d = jax.lax.fori_loop(0, self.n_sub_steps,
-                              lambda i, dd: engine.step(m, dd), d) \
-            if self.n_sub_steps > 1 else engine.step(m, d)
+        if self._fast_step1 is not None:
+            dt = d.qpos.dtype
+            def sub(_, c):
+                return self._fast_step1(c[0], c[1], c[2], d.ctrl)
+            carry = (d.qpos, d.qvel, d.qacc_warmstart)
+            if self.n_sub_steps > 1:
+                carry = jax.lax.fori_loop(0, self.n_sub_steps, sub, carry)
+            else:
+                carry = sub(0, carry)
+            h = jnp.asarray(self.model.opt.timestep, dt)
+            d = d.replace(qpos=carry[0], qvel=carry[1],
+                          qacc_warmstart=carry[2],
+                          time=d.time + self.n_sub_steps * h)
+        else:
+            d = jax.lax.fori_loop(0, self.n_sub_steps,
+                                  lambda i, dd: engine.step(m, dd), d) \
+                if self.n_sub_steps > 1 else engine.step(m, d)
         state = state.replace(data=d,
                               step_count=state.step_count + 1)
         state, obs = self._observe(state)
