@@ -28,6 +28,8 @@ flags.DEFINE_boolean("lr_decay", False, "Decay learning rate.")
 flags.DEFINE_integer("warmup_tokens", 512 * 20, "Warmup tokens.")
 flags.DEFINE_integer("final_tokens", 10 * 200000, "Decay horizon tokens.")
 flags.DEFINE_string("model", "gpt", "Choices: gpt/ffnet")
+flags.DEFINE_integer("num_workers", 0, "Native prefetch threads "
+                     "(0 = in-process numpy batches).")
 
 
 def train():
@@ -64,7 +66,7 @@ def train():
         learning_rate=FLAGS.learning_rate,
         grad_norm_clip=FLAGS.grad_norm_clip, lr_decay=FLAGS.lr_decay,
         warmup_tokens=FLAGS.warmup_tokens, final_tokens=FLAGS.final_tokens,
-        ckpt_path=FLAGS.checkpoint_path)
+        ckpt_path=FLAGS.checkpoint_path, num_workers=FLAGS.num_workers)
     trainer = Trainer(model, train_ds, test_ds, tconf)
     history = trainer.train()
     logging.info("best loss: %f", trainer.best_loss)

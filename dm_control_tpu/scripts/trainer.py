@@ -149,6 +149,31 @@ class Trainer:
             act = jax.device_put(act, sh)
         return obs, act
 
+    def _epoch_batches(self, dataset, rng):
+        """Yields one epoch of batches; with num_workers > 0 and the
+        native toolchain available, batches come from the C++ prefetch
+        ring (dm_control_tpu/native) so gather overlaps the device step
+        (the DataLoader-worker analogue of reference trainer.py:64)."""
+        config = self.config
+        n = max(1, len(dataset) // config.batch_size)
+        if config.num_workers > 0:
+            try:
+                from dm_control_tpu.native import PrefetchLoader
+
+                loader = PrefetchLoader(
+                    dataset, config.batch_size,
+                    seed=int(rng.randint(1 << 31)),
+                    n_threads=config.num_workers)
+                try:
+                    for _ in range(n):
+                        yield loader.next()
+                finally:
+                    loader.close()
+                return
+            except RuntimeError:
+                pass  # no toolchain: fall through to numpy batches
+        yield from dataset.batches(rng, config.batch_size)
+
     def run_epoch(self, split, epoch, rng):
         config = self.config
         dataset = (self.train_dataset if split == "train"
@@ -156,7 +181,7 @@ class Trainer:
         losses = []
         t0 = time.time()
         for it, (obs, act) in enumerate(
-                dataset.batches(rng, config.batch_size)):
+                self._epoch_batches(dataset, rng)):
             obs, act = self._prep(obs, act)
             if split == "train":
                 if config.lr_decay:

@@ -243,3 +243,55 @@ def test_cem_solver_beats_random():
 
     rand = replay(np.random.RandomState(0).uniform(-1, 1, acts.shape))
     assert replay(acts) > rand + 0.5
+
+
+class TestNativeLoader:
+
+    def test_gather_matches_numpy(self):
+        from dm_control_tpu.native import gather_blocks, load_library
+
+        if load_library() is None:
+            pytest.skip("no native toolchain")
+        rng = np.random.RandomState(0)
+        obs = rng.randn(1000, 8).astype(np.float32)
+        act = rng.randn(1000, 2).astype(np.float32)
+        starts = rng.randint(0, 990, 16).astype(np.int64)
+        o, a = gather_blocks(obs, act, starts, block=6)
+        g = starts[:, None] + np.arange(6)
+        assert np.array_equal(o, obs[g]) and np.array_equal(a, act[g])
+
+    def test_prefetch_loader_episode_safe_and_deterministic(self):
+        from dm_control_tpu.native import PrefetchLoader, load_library
+
+        if load_library() is None:
+            pytest.skip("no native toolchain")
+        obs, act, done = _synthetic(n_eps=8)
+        ds = TrajectoryDataset.from_arrays(obs, act, done, block_size=3)
+        pl1 = PrefetchLoader(ds, batch_size=8, seed=3)
+        pl2 = PrefetchLoader(ds, batch_size=8, seed=3)
+        o1, a1 = pl1.next()
+        o2, a2 = pl2.next()
+        assert np.array_equal(o1, o2) and np.array_equal(a1, a2)
+        # every block must be a verbatim episode-safe slice
+        for b in range(8):
+            idx = np.where(
+                (ds.observations == o1[b, 0]).all(axis=1))[0]
+            assert len(idx) >= 1
+            s = int(idx[0])
+            assert np.array_equal(o1[b], ds.observations[s:s + 3])
+            assert not ds.dones[s:s + 2].any()
+        pl1.close()
+        pl2.close()
+
+    def test_trainer_with_native_workers(self):
+        from dm_control_tpu.native import load_library
+
+        if load_library() is None:
+            pytest.skip("no native toolchain")
+        obs, act, done = _synthetic(n_eps=6)
+        ds = TrajectoryDataset.from_arrays(obs, act, done, block_size=1)
+        tr = Trainer(FFNet(FFConfig(obs_size=4, action_size=2)), ds, None,
+                     TrainerConfig(max_epochs=3, batch_size=16,
+                                   learning_rate=1e-3, num_workers=2))
+        hist = tr.train()
+        assert hist[-1][0] < hist[0][0]
