@@ -48,6 +48,12 @@ from dm_control_tpu.physics.model import (BiasType, DisableBit, DynType,
 _MINVAL = 1e-15
 _MINIMP, _MAXIMP = 0.0001, 0.9999
 
+#: model_diff fields the fast path supports as traced per-episode inputs —
+#: they only reposition geoms/sites for observation FK and never enter the
+#: dynamics (geom masses were folded into body inertia at compile).
+DIFF_SAFE_FIELDS = frozenset(
+    {"geom_pos", "geom_quat", "site_pos", "site_quat"})
+
 
 def applicable(m: Model) -> bool:
     """True when the fused scalar-chain step reproduces engine.step."""
@@ -283,9 +289,14 @@ def build_step(m: Model):
     site_pos = np.asarray(m.site_pos, np.float64) if m.nsite else None
     site_quat = np.asarray(m.site_quat, np.float64) if m.nsite else None
 
-    def fk_fields(qpos):
+    def fk_fields(qpos, diff=None):
         """Stacked kinematics() output fields for observation/reward
-        (the fields engine.fwd_position materializes in Data)."""
+        (the fields engine.fwd_position materializes in Data).
+
+        ``diff`` may override DIFF_SAFE_FIELDS (per-episode model_diff
+        values that only reposition geoms/sites — they never enter the
+        dynamics, whose mass properties were folded at compile)."""
+        diff = diff or {}
         dtype = qpos.dtype
         xpos, xquat, xanchor, xaxis = fk(qpos)
         xmat = [mx.quat_to_mat(xquat[b]) for b in range(nbody)]
@@ -300,26 +311,35 @@ def build_step(m: Model):
             xmat=jnp.stack(xmat), xipos=jnp.stack(xipos),
             ximat=jnp.stack(ximat),
             jnt_xanchor=jnp.stack(xanchor), jnt_xaxis=jnp.stack(xaxis))
+        def local_pos(field, const, i):
+            if field in diff:
+                return jnp.asarray(diff[field][i], dtype)
+            return jnp.asarray(const[i], dtype)
+
+        def local_mat(field, const, i, base):
+            if field in diff:
+                return base @ mx.quat_to_mat(
+                    mx.quat_normalize(jnp.asarray(diff[field][i], dtype)))
+            if np.allclose(const[i], [1, 0, 0, 0]):
+                return base
+            return base @ mx.quat_to_mat(jnp.asarray(const[i], dtype))
+
         if m.ngeom:
             out["geom_xpos"] = jnp.stack([
                 xpos[geom_bodyid[g]] + xmat[geom_bodyid[g]]
-                @ jnp.asarray(geom_pos[g], dtype) for g in range(m.ngeom)])
-            out["geom_xmat"] = jnp.stack([
-                xmat[geom_bodyid[g]] if np.allclose(
-                    geom_quat[g], [1, 0, 0, 0])
-                else xmat[geom_bodyid[g]] @ mx.quat_to_mat(
-                    jnp.asarray(geom_quat[g], dtype))
+                @ local_pos("geom_pos", geom_pos, g)
                 for g in range(m.ngeom)])
+            out["geom_xmat"] = jnp.stack([
+                local_mat("geom_quat", geom_quat, g,
+                          xmat[geom_bodyid[g]]) for g in range(m.ngeom)])
         if m.nsite:
             out["site_xpos"] = jnp.stack([
                 xpos[site_bodyid[s]] + xmat[site_bodyid[s]]
-                @ jnp.asarray(site_pos[s], dtype) for s in range(m.nsite)])
-            out["site_xmat"] = jnp.stack([
-                xmat[site_bodyid[s]] if np.allclose(
-                    site_quat[s], [1, 0, 0, 0])
-                else xmat[site_bodyid[s]] @ mx.quat_to_mat(
-                    jnp.asarray(site_quat[s], dtype))
+                @ local_pos("site_pos", site_pos, s)
                 for s in range(m.nsite)])
+            out["site_xmat"] = jnp.stack([
+                local_mat("site_quat", site_quat, s,
+                          xmat[site_bodyid[s]]) for s in range(m.nsite)])
         return out
 
     def smooth(qpos, qvel, ctrl):

@@ -79,7 +79,8 @@ class BatchEnv:
         from dm_control_tpu.physics import fastpath as _fastpath
 
         self._fast_step1 = None
-        if not task.initial_model_diff(model):
+        diff_keys = set(task.initial_model_diff(model))
+        if diff_keys <= _fastpath.DIFF_SAFE_FIELDS:
             self._fast_step1 = _fastpath.build_step(model)
 
         self.reset = jax.jit(jax.vmap(self._reset_one))
@@ -143,7 +144,8 @@ class BatchEnv:
         d = state.data
         if (self._fast_step1 is not None
                 and self._fast_step1.fk_observe_ok):
-            d = d.replace(**self._fast_step1.fk_fields(d.qpos))
+            d = d.replace(**self._fast_step1.fk_fields(
+                d.qpos, state.model_diff))
             return state.replace(data=d), self.task.observation(m, d)
         d = engine.fwd_position(m, d)
         d = sens.sensor_pos(m, d)

@@ -96,8 +96,42 @@ def test_batch_env_uses_fastpath_and_matches():
                                    np.asarray(t2.reward), atol=1e-12)
 
 
-def test_reacher_fastpath_disabled_in_batchenv():
-    """Reacher randomizes its target geom via model_diff — constants the
-    fast path folded — so BatchEnv must fall back to the general engine."""
+def test_reacher_fastpath_with_model_diff_target():
+    """Reacher's per-episode randomized target goes through a model_diff
+    on geom_pos — a DIFF_SAFE field threaded into the fused observation
+    FK as a traced input, so the fast path stays on and observations
+    (which depend on the moved target geom) still match."""
     env = _load("reacher", "easy")
-    assert env._fast_step1 is None
+    assert env._fast_step1 is not None
+    env2 = _load("reacher", "easy")
+    env2._fast_step1 = None
+    env2.reset = jax.jit(jax.vmap(env2._reset_one))
+    env2.step = jax.jit(jax.vmap(env2._step_one))
+    rngs = jax.random.split(jax.random.PRNGKey(2), 4)
+    s1, t1 = env.reset(rngs)
+    s2, t2 = env2.reset(rngs)
+    rng = np.random.RandomState(2)
+    for _ in range(15):
+        a = jnp.asarray(rng.uniform(-1, 1, (4, 2)))
+        s1, t1 = env.step(s1, a)
+        s2, t2 = env2.step(s2, a)
+        for k in t1.observation:
+            np.testing.assert_allclose(
+                np.asarray(t1.observation[k]),
+                np.asarray(t2.observation[k]), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(t1.reward),
+                                   np.asarray(t2.reward), atol=1e-12)
+
+
+def test_dynamics_affecting_model_diff_disables_fastpath():
+    """A task whose model_diff touches dynamics fields must fall back."""
+    from dm_control_tpu.rl.batch_env import BatchEnv
+
+    env = _load("cartpole", "swingup")
+
+    class DiffTask(type(env.task)):
+        def initial_model_diff(self, m):
+            return {"dof_damping": m.dof_damping}
+
+    benv = BatchEnv(env.model, DiffTask.__new__(DiffTask))
+    assert benv._fast_step1 is None
