@@ -15,6 +15,17 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: the cheetah fused step is a large scalar graph
+# (~25 min cold compile through the remote-TPU tunnel, seconds when cached)
+_CACHE = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                        os.path.join(os.path.dirname(
+                            os.path.abspath(__file__)), ".jax_cache"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
+
 
 def bench_env(domain, task, batch, n_steps, dtype=jnp.float32):
     import dm_control_tpu.suite as suite
@@ -56,6 +67,13 @@ def main():
     except Exception as e:  # pragma: no cover
         results["cartpole_error"] = repr(e)[:120]
         cart_env = 0.0
+    try:
+        # ladder-2: contact-rich planar locomotion on the fused fast path
+        chee_env, chee_phys = bench_env("cheetah", "run", 4096, 32)
+        results["cheetah_env_steps_per_s"] = round(chee_env)
+        results["cheetah_physics_steps_per_s"] = round(chee_phys)
+    except Exception as e:  # pragma: no cover
+        results["cheetah_error"] = repr(e)[:120]
     # humanoid is gated until the vectorized collision/constraint rework
     # lands (its current unrolled graph compiles too slowly on-device)
     if os.environ.get("BENCH_HUMANOID"):

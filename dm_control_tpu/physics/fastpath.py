@@ -43,7 +43,8 @@ import numpy as np
 from dm_control_tpu.physics import mathx as mx
 from dm_control_tpu.physics.model import (BiasType, DisableBit, DynType,
                                           GainType, IntegratorType,
-                                          JointType, Model, TrnType)
+                                          JointType, Model, SensorType,
+                                          TrnType)
 
 _MINVAL = 1e-15
 _MINIMP, _MAXIMP = 0.0001, 0.9999
@@ -55,19 +56,70 @@ DIFF_SAFE_FIELDS = frozenset(
     {"geom_pos", "geom_quat", "site_pos", "site_quat"})
 
 
+#: sensor types whose values depend on accelerations / constraint forces
+#: computed inside the step (mj_sensorAcc stage) — the fast path doesn't
+#: materialize contact_force/qacc into Data, so these would read zeros.
+_ACC_STAGE_SENSORS = frozenset({
+    int(SensorType.TOUCH), int(SensorType.ACCELEROMETER),
+    int(SensorType.FORCE), int(SensorType.TORQUE),
+    int(SensorType.FRAMELINACC), int(SensorType.FRAMEANGACC),
+    int(SensorType.ACTUATORFRC)})
+
+_MAX_CONTACT_ROWS = 160  # solver rows; cheetah = 140
+
+
+def _contact_pairs_static(m: Model):
+    """Static per-pair contact description (or None if unsupported):
+    list of (fn, nrows, g1, g2, condim, friction5, solref, solimp,
+    includemargin, invweight)."""
+    from dm_control_tpu.physics import collision
+
+    groups = collision.contact_groups(m)
+    out = []
+    body_invw = np.asarray(m.body_invweight0, np.float64)
+    for key, nrows, pairs in groups:
+        fn, _ = collision._resolve_collider(m, key)
+        if fn is None or isinstance(fn, tuple):  # hfield closure et al.
+            return None
+        fri, sr, si, incm = collision._pair_params_arrays(m, pairs)
+        fri, sr, si, incm = (np.asarray(fri, np.float64),
+                             np.asarray(sr, np.float64),
+                             np.asarray(si, np.float64),
+                             np.asarray(incm, np.float64))
+        for i, pair in enumerate(pairs):
+            g1, g2 = int(pair[0]), int(pair[1])
+            condim = int(pair[2]) if len(pair) > 2 else 3
+            if condim not in (1, 3):
+                return None
+            b1 = int(m.geom_bodyid[g1])
+            b2 = int(m.geom_bodyid[g2])
+            inv = float(body_invw[b1, 0] + body_invw[b2, 0])
+            out.append(dict(fn=fn, nrows=nrows, g1=g1, g2=g2,
+                            condim=condim, friction=fri[i], solref=sr[i],
+                            solimp=si[i], includemargin=float(incm[i]),
+                            invweight=inv))
+    return out
+
+
 def applicable(m: Model) -> bool:
     """True when the fused scalar-chain step reproduces engine.step."""
     try:
-        from dm_control_tpu.physics import collision
-
         if m.njnt == 0 or m.nv != m.njnt or m.na != 0:
             return False
-        if m.nv > 8 or m.ntendon != 0 or getattr(m, "neq", 0) != 0:
+        if m.nv > 10 or m.ntendon != 0 or getattr(m, "neq", 0) != 0:
             return False
         if any(int(t) not in (int(JointType.HINGE), int(JointType.SLIDE))
                for t in np.asarray(m.jnt_type)):
             return False
-        if collision.contact_rows_static(m)[0]:
+        pairs = _contact_pairs_static(m)
+        if pairs is None:
+            return False
+        # nrows = contacts per pair from the collider; condim 3 expands
+        # each contact into 4 pyramidal solver rows
+        if sum(p["nrows"] * (1 if p["condim"] == 1 else 4)
+               for p in pairs) > _MAX_CONTACT_ROWS:
+            return False
+        if any(int(t) in _ACC_STAGE_SENSORS for t in m.sensor_type):
             return False
         if np.any(np.asarray(m.dof_frictionloss) != 0):
             return False
@@ -87,10 +139,11 @@ def applicable(m: Model) -> bool:
         if integ not in (int(IntegratorType.EULER),
                          int(IntegratorType.RK4)):
             return False
-        # CONTACT/FILTERPARENT disable bits are no-ops here (no contact
-        # rows exist anyway); any other disable flag changes semantics the
-        # fast path doesn't model.
-        harmless = int(DisableBit.CONTACT) | int(DisableBit.FILTERPARENT)
+        # Disable bits the fast path models: CONTACT (contact_groups is
+        # already empty), FILTERPARENT (a pair-filter input), CONSTRAINT /
+        # LIMIT (row construction is skipped to match, see build_step).
+        harmless = (int(DisableBit.CONTACT) | int(DisableBit.FILTERPARENT)
+                    | int(DisableBit.CONSTRAINT) | int(DisableBit.LIMIT))
         if int(np.asarray(m.opt.disableflags)) & ~harmless:
             return False
         if float(np.asarray(m.opt.density)) != 0.0 or \
@@ -350,10 +403,12 @@ def build_step(m: Model):
         v = [qvel[i] for i in range(nv)]
 
         xpos, xquat, xanchor, xaxis = fk(qpos)
+        xmat = [None] * nbody
         xipos = [None] * nbody
         ximat = [None] * nbody
         for b in range(nbody):
             xm = mx.quat_to_mat(xquat[b])
+            xmat[b] = xm
             xipos[b] = xpos[b] + xm @ jnp.asarray(body_ipos[b], dtype)
             ximat[b] = (xm if np.allclose(body_iquat[b], [1, 0, 0, 0])
                         else xm @ mx.quat_to_mat(
@@ -451,35 +506,117 @@ def build_step(m: Model):
         qfrc_smooth = [qfrc_passive[i] - qfrc_bias[i] + qfrc_act[i]
                        for i in range(nv)]
         qacc_smooth = _chol_solve(M, qfrc_smooth, nv)
-        return M, qfrc_smooth, qacc_smooth, q, v
+        ctx = (xpos, xmat, cdof, subtree_com)
+        return M, qfrc_smooth, qacc_smooth, q, v, ctx
 
     # ---- constraint rows + Newton (constraints.py / solver.py) ----
 
-    def constraint(M, qacc_smooth, warm, q, v, dtype):
-        if nefc == 0:
-            return qacc_smooth, [jnp.zeros((), dtype)] * nv
-        # rows
-        aref, Dv, rdof, rsign, active = [], [], [], [], []
+    _dis = int(np.asarray(m.opt.disableflags))
+    contact_pairs = _contact_pairs_static(m) or []
+    if _dis & int(DisableBit.CONSTRAINT):
+        contact_pairs = []
+        limit_rows = []
+    elif _dis & int(DisableBit.LIMIT):
+        limit_rows = []
+    impratio = float(np.asarray(m.opt.impratio))
+
+    def _limit_row_list(q, v, dtype):
+        """Unilateral limit rows as (Jmap, aref, D) — constraints.py:279."""
+        rows = []
         for (qadr, dadr, sign, bound, margin, solref, solimp,
              invw) in limit_rows:
-            dist = sign * (q[qadr] - bound)
-            pos = dist - margin
+            pos = sign * (q[qadr] - bound) - margin
             vel = v[dadr] * sign
             k, b, imp = _kbi(solref, solimp, pos)
-            aref.append(-b * vel - k * pos)
+            aref = -b * vel - k * pos
             r_reg = jnp.maximum(_MINVAL, (1.0 - imp) / imp * invw)
             act = pos < 0
-            Dv.append(jnp.where(act, 1.0 / r_reg, 0.0))
-            rdof.append(dadr)
-            rsign.append(sign)
-            active.append(act)
+            D = jnp.where(act, 1.0 / r_reg, 0.0)
+            rows.append(({dadr: sign}, aref, D))
+        return rows
+
+    def _contact_row_list(ctx, v, dtype):
+        """Pyramidal contact rows (constraints.py:341 _contact_rows); the
+        narrowphase reuses the general per-pair colliders verbatim."""
+        xpos, xmat, cdof, subtree_com = ctx
+        rows = []
+        for cp in contact_pairs:
+            g1, g2 = cp["g1"], cp["g2"]
+            b1, b2 = geom_bodyid[g1], geom_bodyid[g2]
+
+            def gpose(g, b):
+                p = xpos[b] + xmat[b] @ jnp.asarray(geom_pos[g], dtype)
+                if np.allclose(geom_quat[g], [1, 0, 0, 0]):
+                    mat = xmat[b]
+                else:
+                    mat = xmat[b] @ mx.quat_to_mat(
+                        jnp.asarray(geom_quat[g], dtype))
+                return p, mat
+
+            p1, m1 = gpose(g1, b1)
+            p2, m2 = gpose(g2, b2)
+            s1 = jnp.asarray(np.asarray(m.geom_size)[g1], dtype)
+            s2 = jnp.asarray(np.asarray(m.geom_size)[g2], dtype)
+            dist, cpos, frame = cp["fn"](p1, m1, s1, p2, m2, s2)
+
+            chain1, chain2 = body_chain[b1], body_chain[b2]
+            dofs = sorted(set(chain1) | set(chain2))
+            solref, solimp = cp["solref"], cp["solimp"]
+            inv = cp["invweight"]
+            mu0 = float(cp["friction"][0])
+            inv_pyr = (inv + mu0 * mu0 * inv) * 2.0 * mu0 * mu0 / impratio
+            for r in range(cp["nrows"]):
+                pr = cpos[r]
+                jd = {}
+                for i in dofs:
+                    jp = None
+                    if i in chain2:
+                        com = subtree_com[body_rootid[b2]]
+                        jp = cdof[i][3:] + jnp.cross(cdof[i][:3], pr - com)
+                    if i in chain1:
+                        com = subtree_com[body_rootid[b1]]
+                        j1 = cdof[i][3:] + jnp.cross(cdof[i][:3], pr - com)
+                        jp = (jp - j1) if jp is not None else -j1
+                    jd[i] = jp
+                fr = frame[r]
+                jn = {i: jnp.dot(fr[0], jd[i]) for i in dofs}
+                pos_eff = dist[r] - cp["includemargin"]
+                k, b, imp = _kbi(solref, solimp, pos_eff)
+                act = pos_eff < 0
+                if cp["condim"] == 1:
+                    aref = -b * sum(jn[i] * v[i] for i in dofs) - k * pos_eff
+                    r_reg = jnp.maximum(_MINVAL, (1.0 - imp) / imp * inv)
+                    rows.append((jn, aref, jnp.where(act, 1.0 / r_reg, 0.0)))
+                    continue
+                r_reg = jnp.maximum(_MINVAL, (1.0 - imp) / imp * inv_pyr)
+                D = jnp.where(act, 1.0 / r_reg, 0.0)
+                for fi in (0, 1):
+                    mu = float(cp["friction"][fi])
+                    jt = {i: jnp.dot(fr[fi + 1], jd[i]) for i in dofs}
+                    for sign in (1.0, -1.0):
+                        J = {i: jn[i] + sign * mu * jt[i] for i in dofs}
+                        aref = (-b * sum(J[i] * v[i] for i in dofs)
+                                - k * pos_eff)
+                        rows.append((J, aref, D))
+        return rows
+
+    def constraint(M, qacc_smooth, warm, q, v, ctx, dtype):
+        rows = _limit_row_list(q, v, dtype)
+        rows.extend(_contact_row_list(ctx, v, dtype))
+        nrows = len(rows)
+        if nrows == 0:
+            return qacc_smooth, [jnp.zeros((), dtype)] * nv
+        Jmaps = [r[0] for r in rows]
+        arefs = [r[1] for r in rows]
+        Dv = [r[2] for r in rows]
 
         def jar_of(x):
-            return [rsign[r] * x[rdof[r]] - aref[r] for r in range(nefc)]
+            return [sum(Jmaps[r][i] * x[i] for i in Jmaps[r]) - arefs[r]
+                    for r in range(nrows)]
 
         def cost_terms(jar):
             cost, dcost, hw = [], [], []
-            for r in range(nefc):
+            for r in range(nrows):
                 quad = jar[r] < 0
                 cost.append(jnp.where(quad, 0.5 * Dv[r] * jar[r] * jar[r],
                                       0.0))
@@ -523,15 +660,22 @@ def build_step(m: Model):
                 for jdof in range(nv):
                     g = g + M[i][jdof] * (x[jdof] - qacc_smooth[jdof])
                 grad[i] = g
-            for r in range(nefc):
-                grad[rdof[r]] = grad[rdof[r]] + rsign[r] * dcost[r]
+            for r in range(nrows):
+                for i, Ji in Jmaps[r].items():
+                    grad[i] = grad[i] + Ji * dcost[r]
             H = [[M[i][jdof] for jdof in range(nv)] for i in range(nv)]
-            for r in range(nefc):
-                dd = rdof[r]
-                H[dd][dd] = H[dd][dd] + hw[r]
+            for r in range(nrows):
+                items = list(Jmaps[r].items())
+                for a, (ia, Ja) in enumerate(items):
+                    for ib, Jb in items[a:]:
+                        term = hw[r] * Ja * Jb
+                        H[ia][ib] = H[ia][ib] + term
+                        if ia != ib:
+                            H[ib][ia] = H[ib][ia] + term
             p = _chol_solve(H, [-g for g in grad], nv)
 
-            jp = [rsign[r] * p[rdof[r]] for r in range(nefc)]
+            jp = [sum(Jmaps[r][i] * p[i] for i in Jmaps[r])
+                  for r in range(nrows)]
             mp = [None] * nv
             for i in range(nv):
                 s = jnp.zeros((), dtype)
@@ -542,13 +686,13 @@ def build_step(m: Model):
             x_as = [x[i] - qacc_smooth[i] for i in range(nv)]
 
             def ls_body(k, alpha):
-                jar_a = [jar[r] + alpha * jp[r] for r in range(nefc)]
+                jar_a = [jar[r] + alpha * jp[r] for r in range(nrows)]
                 _, dcost_a, hw_a = cost_terms(jar_a)
                 d1 = sum((x_as[i] + alpha * p[i]) * mp[i]
                          for i in range(nv))
-                d1 = d1 + sum(dcost_a[r] * jp[r] for r in range(nefc))
+                d1 = d1 + sum(dcost_a[r] * jp[r] for r in range(nrows))
                 d2 = p_mp + sum(hw_a[r] * jp[r] * jp[r]
-                                for r in range(nefc))
+                                for r in range(nrows))
                 return alpha - d1 / jnp.maximum(d2, _MINVAL)
 
             alpha = jax.lax.fori_loop(0, ls_iterations, ls_body,
@@ -572,16 +716,18 @@ def build_step(m: Model):
         jar = jar_of(x)
         _, dcost, _ = cost_terms(jar)
         qfrc_con = [jnp.zeros((), dtype)] * nv
-        for r in range(nefc):
-            qfrc_con[rdof[r]] = qfrc_con[rdof[r]] - rsign[r] * dcost[r]
+        for r in range(nrows):
+            for i, Ji in Jmaps[r].items():
+                qfrc_con[i] = qfrc_con[i] - Ji * dcost[r]
         return x, qfrc_con
 
     has_damping = bool(np.any(dof_damping))
 
     def forward(qpos, qvel, warm, ctrl):
         """qacc + (qfrc_smooth + qfrc_constraint) for one state."""
-        M, qfrc_smooth, qacc_smooth, q, v = smooth(qpos, qvel, ctrl)
-        qacc, qfrc_con = constraint(M, qacc_smooth, warm, q, v, qpos.dtype)
+        M, qfrc_smooth, qacc_smooth, q, v, ctx = smooth(qpos, qvel, ctrl)
+        qacc, qfrc_con = constraint(M, qacc_smooth, warm, q, v, ctx,
+                                    qpos.dtype)
         return M, qacc, qfrc_smooth, qfrc_con
 
     def euler_advance(M, qacc, qfrc_smooth, qfrc_con, qpos, qvel):

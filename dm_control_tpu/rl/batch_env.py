@@ -84,7 +84,7 @@ class BatchEnv:
             self._fast_step1 = _fastpath.build_step(model)
 
         self.reset = jax.jit(jax.vmap(self._reset_one))
-        self.step = jax.jit(jax.vmap(self._step_one))
+        self.step = jax.jit(self._step_batched)
 
     # -- stripped-carry helpers ---------------------------------------------
 
@@ -130,8 +130,16 @@ class BatchEnv:
 
         mm = apply_model_diff(m, diff)
         if task.settle_steps:
-            d = jax.lax.fori_loop(0, task.settle_steps,
-                                  lambda i, dd: engine.step(mm, dd), d)
+            if self._fast_step1 is not None:
+                def sub(_, c):
+                    return self._fast_step1(c[0], c[1], c[2], d.ctrl)
+                qp, qv, w = jax.lax.fori_loop(
+                    0, task.settle_steps, sub,
+                    (d.qpos, d.qvel, d.qacc_warmstart))
+                d = d.replace(qpos=qp, qvel=qv, qacc_warmstart=w)
+            else:
+                d = jax.lax.fori_loop(0, task.settle_steps,
+                                      lambda i, dd: engine.step(mm, dd), d)
             d = d.replace(time=jnp.zeros_like(d.time))
         return EnvState(data=d, model_diff=diff, rng=rng,
                         step_count=jnp.asarray(0, jnp.int32),
@@ -224,6 +232,39 @@ class BatchEnv:
             return self._plain_step(state, action)
 
         return jax.lax.cond(state.needs_reset, do_reset, do_step, None)
+
+    def _step_batched(self, state: EnvState, action):
+        """Batched step with amortized autoreset.
+
+        A per-env lax.cond under vmap lowers to select — BOTH branches
+        execute every step, so episode re-initialization (incl. e.g.
+        cheetah's 200 settle steps) would be paid on every control step.
+        Instead: step everything, then a SCALAR-predicate cond runs the
+        vmapped reset only on steps where some env actually finished
+        (~1/episode_len of steps), and a mask merges the results — the
+        per-env semantics are unchanged."""
+        stepped_state, stepped_ts = jax.vmap(self._plain_step)(
+            state, action)
+        if not self.autoreset:
+            return stepped_state, stepped_ts
+
+        def merge(need):
+            def sel(a, b):
+                m = need.reshape(need.shape + (1,) * (a.ndim - 1))
+                return jnp.where(m, a, b)
+            return sel
+
+        def do_resets(_):
+            pairs = jax.vmap(jax.random.split)(state.rng)
+            rngs, subs = pairs[:, 0], pairs[:, 1]
+            new_state, new_ts = jax.vmap(self._reset_one)(subs)
+            new_state = new_state.replace(rng=rngs)
+            sel = merge(state.needs_reset)
+            return (jax.tree_util.tree_map(sel, new_state, stepped_state),
+                    jax.tree_util.tree_map(sel, new_ts, stepped_ts))
+
+        return jax.lax.cond(jnp.any(state.needs_reset), do_resets,
+                            lambda _: (stepped_state, stepped_ts), None)
 
 
 def rollout(env: BatchEnv, policy_fn, rng, batch_size: int, n_steps: int):
