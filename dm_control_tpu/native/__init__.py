@@ -75,12 +75,22 @@ def _i64p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
+def _check_starts(starts, block, n):
+    """The C++ side does raw memcpy — validate bounds here so malformed
+    start indices raise instead of reading out-of-bounds heap memory."""
+    if len(starts) and (starts.min() < 0 or starts.max() + block > n):
+        raise IndexError(
+            f"block start out of range: starts in "
+            f"[{starts.min()}, {starts.max()}], block={block}, rows={n}")
+
+
 def gather_blocks(obs, act, starts, block, n_threads=4):
     """Threaded gather of [batch, block, dim] from explicit start rows."""
     lib = load_library()
     obs = np.ascontiguousarray(obs, np.float32)
     act = np.ascontiguousarray(act, np.float32)
     starts = np.ascontiguousarray(starts, np.int64)
+    _check_starts(starts, block, min(obs.shape[0], act.shape[0]))
     batch = len(starts)
     out_obs = np.empty((batch, block, obs.shape[1]), np.float32)
     out_act = np.empty((batch, block, act.shape[1]), np.float32)
@@ -119,6 +129,8 @@ class PrefetchLoader:
                 bisect.bisect_left(dataset.logical_index, i)]
             for i in range(len(dataset))], np.int64)
         self._starts = np.ascontiguousarray(starts)
+        _check_starts(self._starts, self.block,
+                      min(self._obs.shape[0], self._act.shape[0]))
         self._h = lib.tl_create(
             _f32p(self._obs), _f32p(self._act), self._obs.shape[0],
             self._obs.shape[1], self._act.shape[1], _i64p(self._starts),

@@ -693,7 +693,9 @@ def build_step(m: Model):
                 d1 = d1 + sum(dcost_a[r] * jp[r] for r in range(nrows))
                 d2 = p_mp + sum(hw_a[r] * jp[r] * jp[r]
                                 for r in range(nrows))
-                return alpha - d1 / jnp.maximum(d2, _MINVAL)
+                # pin the carry dtype: baked np.float64 model constants
+                # would otherwise promote f32 under jax_enable_x64
+                return (alpha - d1 / jnp.maximum(d2, _MINVAL)).astype(dtype)
 
             alpha = jax.lax.fori_loop(0, ls_iterations, ls_body,
                                       jnp.asarray(1.0, dtype))
@@ -701,15 +703,18 @@ def build_step(m: Model):
             x_try = [x[i] + alpha * p[i] for i in range(nv)]
             cost_try = total_cost(x_try)
             better = (cost_try < cost) & live
-            x_new = [jnp.where(better, x_try[i], x[i]) for i in range(nv)]
-            cost_new = jnp.where(better, cost_try, cost)
-            improvement_new = jnp.where(live, cost - cost_new, improvement)
+            x_new = [jnp.where(better, x_try[i], x[i]).astype(dtype)
+                     for i in range(nv)]
+            cost_new = jnp.where(better, cost_try, cost).astype(dtype)
+            improvement_new = jnp.where(live, cost - cost_new,
+                                        improvement).astype(dtype)
             g2 = sum(g * g for g in grad)
-            gnorm_new = jnp.where(live, jnp.sqrt(g2), gnorm)
+            gnorm_new = jnp.where(live, jnp.sqrt(g2), gnorm).astype(dtype)
             return (tuple(x_new), cost_new, improvement_new, gnorm_new,
                     it + 1)
 
-        init = (tuple(x0), cost0, jnp.asarray(jnp.inf, dtype),
+        init = (tuple(jnp.asarray(xi, dtype) for xi in x0),
+                jnp.asarray(cost0, dtype), jnp.asarray(jnp.inf, dtype),
                 jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32))
         x, _, _, _, _ = jax.lax.while_loop(cond, body, init)
         x = list(x)

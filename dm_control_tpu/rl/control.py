@@ -318,9 +318,22 @@ class Environment(dm_env.Environment):
         return action_spec(self._model)
 
     def observation_spec(self):
-        if self._state is None:
-            self.reset()
-        _, obs = self._jit_obs(self._state.data, self._state.model_diff)
+        if self._state is not None:
+            data, diff = self._state.data, self._state.model_diff
+        else:
+            # a throwaway episode init with an INDEPENDENT RandomState: the
+            # reference's spec query consumes no task RNG
+            # (dm_control/rl/control.py:202-267), so peeking at the spec
+            # must not perturb the seeded episode stream
+            m = self._model
+            rc = RandomContext(np_random=np.random.RandomState(0))
+            diff = self._task.initial_model_diff(m)
+            d = make_data(m)
+            qpos, qvel, diff = self._task.init(
+                m, np.asarray(m.qpos0).copy(), np.zeros(m.nv), rc, diff)
+            data = d.replace(qpos=jnp.asarray(qpos, d.qpos.dtype),
+                             qvel=jnp.asarray(qvel, d.qvel.dtype))
+        _, obs = self._jit_obs(data, diff)
         out = collections.OrderedDict()
         for k, v in obs.items():
             v = np.asarray(v)

@@ -116,6 +116,9 @@ class Transition(NamedTuple):
     value: jax.Array
     reward: jax.Array
     done: jax.Array
+    # False on autoreset boundaries: the stored action was never executed
+    # (the env reset instead), so the transition is excluded from the loss
+    valid: jax.Array
 
 
 class TrainState(NamedTuple):
@@ -158,9 +161,13 @@ def make_train_step(env: BatchEnv, config: PPOConfig, optimizer=None,
             env_state.data.qpos.dtype))
         next_obs = flatten_obs(ts.observation).astype(obs_dtype)
         done = (ts.step_type == 2)
+        # step_type FIRST means the env auto-reset this step: the action
+        # was never executed, and obs is the previous episode's terminal
+        # observation — mask this transition out of the loss
+        valid = (ts.step_type != 0)
         trans = Transition(obs=obs, action=action, logp=logp, value=val,
                            reward=ts.reward.astype(obs_dtype),
-                           done=done)
+                           done=done, valid=valid)
         return (params, env_state, next_obs, rng), trans
 
     def compute_gae(traj: Transition, last_val):
@@ -180,15 +187,20 @@ def make_train_step(env: BatchEnv, config: PPOConfig, optimizer=None,
     def loss_fn(params, batch, adv, ret):
         mean, std = policy_distribution(params, batch.obs)
         logp = _gaussian_logp(mean, std, batch.action)
-        ratio = jnp.exp(logp - batch.logp)
+        w = batch.valid.astype(adv.dtype)
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
+        log_ratio = logp - batch.logp
+        ratio = jnp.exp(log_ratio)
         clipped = jnp.clip(ratio, 1 - config.clip_ratio,
                            1 + config.clip_ratio)
-        pi_loss = -jnp.mean(jnp.minimum(ratio * adv, clipped * adv))
+        pi_loss = -jnp.sum(jnp.minimum(ratio * adv, clipped * adv) * w) \
+            / wsum
         v = value(params, batch.obs)
-        v_loss = jnp.mean((v - ret) ** 2)
+        v_loss = jnp.sum((v - ret) ** 2 * w) / wsum
         entropy = jnp.sum(params["log_std"]
                           + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
-        approx_kl = jnp.mean(batch.logp - logp)
+        # the (exp(lr)-1)-lr estimator of the reference (ppo.py:221-226)
+        approx_kl = jnp.sum(((ratio - 1.0) - log_ratio) * w) / wsum
         total = (pi_loss + config.vf_coef * v_loss
                  - config.ent_coef * entropy)
         return total, (pi_loss, v_loss, approx_kl)
@@ -206,7 +218,13 @@ def make_train_step(env: BatchEnv, config: PPOConfig, optimizer=None,
             lambda x: x.reshape((-1,) + x.shape[2:]), traj)
         adv_f = adv.reshape(-1)
         ret_f = ret.reshape(-1)
-        adv_f = (adv_f - adv_f.mean()) / (adv_f.std() + 1e-8)
+        # normalize over valid transitions only (autoreset boundaries carry
+        # junk advantages that would skew the statistics)
+        w = flat.valid.astype(adv_f.dtype)
+        wsum = jnp.maximum(w.sum(), 1.0)
+        mean_v = (adv_f * w).sum() / wsum
+        var_v = (((adv_f - mean_v) ** 2) * w).sum() / wsum
+        adv_f = (adv_f - mean_v) / (jnp.sqrt(var_v) + 1e-8)
 
         n = adv_f.shape[0]
         mb = n // config.num_minibatches
@@ -225,15 +243,17 @@ def make_train_step(env: BatchEnv, config: PPOConfig, optimizer=None,
                                            ret_f[take])
                 updates, new_opt = optimizer.update(grads, opt_state, params)
                 new_params = optax.apply_updates(params, updates)
-                # KL early stop (reference ppo.py:221-226) as a mask
-                keep = jnp.logical_or(stop, kl > 1.5 * config.target_kl)
+                # KL early stop (reference ppo.py:221-226) as a mask: the
+                # reference breaks BEFORE applying the offending update, so
+                # the freshly computed KL gates this minibatch's step too
+                stop = jnp.logical_or(stop, kl > 1.5 * config.target_kl)
                 params = jax.tree.map(
                     lambda old, new: jnp.where(stop, old, new),
                     params, new_params)
                 opt_state = jax.tree.map(
                     lambda old, new: jnp.where(stop, old, new),
                     opt_state, new_opt)
-                return (params, opt_state, keep), (pi_l, v_l, kl)
+                return (params, opt_state, stop), (pi_l, v_l, kl)
 
             (params, opt_state, stop), metrics = jax.lax.scan(
                 mb_body, (params, opt_state, stop),

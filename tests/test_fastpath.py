@@ -18,15 +18,18 @@ def test_applicability_matrix():
     assert fastpath.build_step(_load("pendulum", "swingup").model)
     assert fastpath.build_step(_load("cartpole", "swingup").model)
     assert fastpath.build_step(_load("reacher", "easy").model)
-    # acrobot has static contact rows; point_mass has tendons
-    assert fastpath.build_step(_load("acrobot", "swingup").model) is None
+    # acrobot's static contact rows are supported since the fast path
+    # learned fixed contact-row layouts; point_mass still falls back
+    # because of its tendon coupling
+    assert fastpath.build_step(_load("acrobot", "swingup").model)
     assert fastpath.build_step(_load("point_mass", "easy").model) is None
 
 
 @pytest.mark.parametrize("dom,task", [("pendulum", "swingup"),
                                       ("cartpole", "swingup"),
                                       ("cartpole", "two_poles"),
-                                      ("reacher", "easy")])
+                                      ("reacher", "easy"),
+                                      ("acrobot", "swingup")])
 def test_trajectory_matches_general_engine(dom, task):
     env = _load(dom, task)
     m = env.model
