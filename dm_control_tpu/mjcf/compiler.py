@@ -429,7 +429,11 @@ class _Compiler:
         if fromto is not None:
             f, t = fromto[:3], fromto[3:]
             pos = 0.5 * (f + t)
-            quat = _z_to_quat(t - f)
+            # MuJoCo orients the frame z-axis along (from - to): verified
+            # against mjModel.geom_quat for all axis directions (the
+            # dynamics are symmetric, but xmat-based observations such as
+            # fish's mouth frame depend on the sign)
+            quat = _z_to_quat(f - t)
             half = 0.5 * np.linalg.norm(t - f)
             if gtype in (GeomType.CAPSULE, GeomType.CYLINDER):
                 size = np.array([size[0], half, 0.0])
@@ -487,7 +491,7 @@ class _Compiler:
         if fromto is not None:
             f, t = fromto[:3], fromto[3:]
             pos = 0.5 * (f + t)
-            quat = _z_to_quat(t - f)
+            quat = _z_to_quat(f - t)  # matches geom fromto convention
         sid = len(self.sites)
         self.sites.append(dict(
             name=attrs.get("name", f"site{sid}"),
@@ -1251,7 +1255,11 @@ def _euler_to_quat(euler, seq):
              "z": np.array([0, 0, 1.0])}
     for i, ax in enumerate(seq):
         rot = _axis_angle_quat(basis[ax.lower()], float(euler[i]))
-        q = _quat_mul(rot, q) if ax.islower() else _quat_mul(q, rot)
+        # lowercase = moving (intrinsic) frame → post-multiply;
+        # uppercase = fixed (extrinsic) frame → pre-multiply
+        # (MJCF compiler/eulerseq semantics; verified against
+        # mjModel.geom_quat for euler="100 2 0")
+        q = _quat_mul(q, rot) if ax.islower() else _quat_mul(rot, q)
     return q / np.linalg.norm(q)
 
 
