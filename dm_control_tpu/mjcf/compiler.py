@@ -402,6 +402,8 @@ class _Compiler:
                          else _float(attrs.get("margin"), 0.0)),
             ref=ref, springref=springref,
             stiffness=_float(attrs.get("stiffness"), 0.0),
+            springdamper=tuple(_floats(attrs.get("springdamper"), 2)
+                               if attrs.get("springdamper") else (0.0, 0.0)),
             damping=_float(attrs.get("damping"), 0.0),
             armature=_float(attrs.get("armature"), 0.0),
             frictionloss=_float(attrs.get("frictionloss"), 0.0),
@@ -1123,6 +1125,8 @@ class _Compiler:
             jnt_range=f([j["range"] for j in joints]) if nj else f(np.zeros((0, 2))),
             jnt_margin=f([j["margin"] for j in joints]) if nj else f(np.zeros(0)),
             jnt_stiffness=f([j["stiffness"] for j in joints]) if nj else f(np.zeros(0)),
+            jnt_springdamper=tuple(tuple(float(x) for x in j["springdamper"])
+                                   for j in joints),
             jnt_solref=f([j["solref"] for j in joints]) if nj else f(np.zeros((0, 2))),
             jnt_solimp=f([j["solimp"] for j in joints]) if nj else f(np.zeros((0, 5))),
             dof_bodyid=tuple(d["bodyid"] for d in dofs),

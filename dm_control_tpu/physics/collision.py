@@ -484,6 +484,21 @@ def sphere_cylinder(p1, m1, s1, p2, m2, s2):
                             p2, m2, s2)
 
 
+def ellipsoid_cylinder(p1, m1, s1, p2, m2, s2):
+    """Ellipsoid vs cylinder: the cylinder is approximated as a capsule of
+    the same radius/half-length (as in cylinder_cylinder) and fed through
+    the capsule-ellipsoid projection with the arguments swapped; the normal
+    is flipped back to point from the ellipsoid (geom1) into the cylinder."""
+    dist, pos, frame = capsule_ellipsoid(p2, m2, s2, p1, m1, s1)
+    return dist, pos, jax.vmap(_make_frame)(-frame[:, 0])
+
+
+def cylinder_box(p1, m1, s1, p2, m2, s2):
+    """Cylinder vs box: capsule approximation of the cylinder through the
+    3-row capsule-box collider (both end-spheres + nearest interior)."""
+    return capsule_box(p1, m1, s1, p2, m2, s2)
+
+
 _BOX_FACE_AXES = np.eye(3)
 
 
@@ -565,6 +580,8 @@ _DISPATCH = {
     (GeomType.ELLIPSOID, GeomType.ELLIPSOID): (ellipsoid_ellipsoid, 1),
     (GeomType.ELLIPSOID, GeomType.BOX): (ellipsoid_box, 1),
     (GeomType.SPHERE, GeomType.CYLINDER): (sphere_cylinder, 1),
+    (GeomType.ELLIPSOID, GeomType.CYLINDER): (ellipsoid_cylinder, 1),
+    (GeomType.CYLINDER, GeomType.BOX): (cylinder_box, 3),
     (GeomType.BOX, GeomType.BOX): (box_box, 8),
 }
 

@@ -268,6 +268,27 @@ def set_const(m: Model) -> Model:
         dof_invweight0 = m.dof_invweight0
         meaninertia = jnp.asarray(1.0, dtype)
 
+    # joint/@springdamper auto-tuning (mjCModel::AutoSpringDamper): with
+    # (timeconst, dampratio) both positive, the compiler overrides
+    # stiffness = I/(tc^2 dr^2) and damping = 2 I/tc, where I is the joint
+    # inertia at qpos0 (1/dof_invweight0).  Verified bit-exact vs the
+    # oracle on dog.xml's caudal joints (reference dm_control/suite/dog.xml
+    # class 'caudal', springdamper="0.001 50").
+    if any(sd[0] > 0 and sd[1] > 0 for sd in m.jnt_springdamper):
+        iw = np.asarray(dof_invweight0)
+        stiff = np.asarray(m.jnt_stiffness).copy()
+        damp = np.asarray(m.dof_damping).copy()
+        for j, (tc, dr) in enumerate(m.jnt_springdamper):
+            if tc <= 0 or dr <= 0:
+                continue
+            dofs = [v for v in range(m.nv) if m.dof_jntid[v] == j]
+            inertia = float(np.mean(1.0 / iw[dofs]))
+            stiff[j] = inertia / (tc * tc * dr * dr)
+            for v in dofs:
+                damp[v] = 2.0 * inertia / tc
+        m = m.replace(jnt_stiffness=jnp.asarray(stiff, dtype),
+                      dof_damping=jnp.asarray(damp, dtype))
+
     biw = []
     for b in range(m.nbody):
         if m.nv == 0 or b == 0:

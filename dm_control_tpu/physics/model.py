@@ -343,6 +343,11 @@ class Model:
     jnt_range: jax.Array = None  # (njnt, 2)
     jnt_margin: jax.Array = None  # (njnt,)
     jnt_stiffness: jax.Array = None  # (njnt,)
+    # springdamper (timeconst, dampratio) per joint; both > 0 means the
+    # compiler overrides stiffness/damping from reference inertia
+    # (MuJoCo joint/@springdamper, applied in engine.set_const)
+    jnt_springdamper: Tuple[Tuple[float, float], ...] = static_field(
+        default=())
     jnt_solref: jax.Array = None  # (njnt, 2)
     jnt_solimp: jax.Array = None  # (njnt, 5)
 

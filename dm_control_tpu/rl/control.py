@@ -117,6 +117,12 @@ class Task:
         """Returns (qpos, qvel, diff) for a new episode."""
         return qpos, qvel, diff
 
+    def init_act(self, m: Model, rc: RandomContext):
+        """Optional actuator-activation init drawn AFTER ``init`` on the same
+        RandomState stream (dog randomizes ``act``, reference
+        dm_control/suite/dog.py:292-296).  Returns an (na,) array or None."""
+        return None
+
     def reject(self, m: Model, d: Data):
         return jnp.asarray(False)
 
@@ -225,7 +231,13 @@ class Environment(dm_env.Environment):
             d = sens.sensor_pos(mm, d)
             d = engine.fwd_velocity(mm, d)
             d = sens.sensor_vel(mm, d)
-            d = engine.fwd_actuation(mm, d)
+            # the reference's post-reset forward runs with actuation
+            # DISABLED (dm_control/mujoco/engine.py ``after_reset``), so the
+            # reset-timestep observation must not see actuator forces even
+            # when ``act`` is nonzero (e.g. dog randomizes activations)
+            d = d.replace(
+                qfrc_actuator=jnp.zeros_like(d.qfrc_actuator),
+                actuator_force=jnp.zeros_like(d.actuator_force))
             d = engine.fwd_acceleration(mm, d)
             d = engine.fwd_constraint(mm, d)
             d = sens.sensor_acc(mm, d)
@@ -279,6 +291,9 @@ class Environment(dm_env.Environment):
             init_fn = self._task.reject_reinit
             d = d.replace(qpos=jnp.asarray(qpos, d.qpos.dtype),
                           qvel=jnp.asarray(qvel, d.qvel.dtype))
+            act0 = self._task.init_act(m, rc)
+            if act0 is not None:
+                d = d.replace(act=jnp.asarray(act0, d.act.dtype))
             if self._task.settle_steps:
                 d = self._jit_settle(d, diff)
             if self._task.max_reset_rejections:
@@ -333,6 +348,9 @@ class Environment(dm_env.Environment):
                 m, np.asarray(m.qpos0).copy(), np.zeros(m.nv), rc, diff)
             data = d.replace(qpos=jnp.asarray(qpos, d.qpos.dtype),
                              qvel=jnp.asarray(qvel, d.qvel.dtype))
+            act0 = self._task.init_act(m, rc)
+            if act0 is not None:
+                data = data.replace(act=jnp.asarray(act0, data.act.dtype))
         _, obs = self._jit_obs(data, diff)
         out = collections.OrderedDict()
         for k, v in obs.items():

@@ -16,6 +16,7 @@ from dm_control_tpu.suite import acrobot
 from dm_control_tpu.suite import ball_in_cup
 from dm_control_tpu.suite import cartpole
 from dm_control_tpu.suite import cheetah
+from dm_control_tpu.suite import dog
 from dm_control_tpu.suite import finger
 from dm_control_tpu.suite import fish
 from dm_control_tpu.suite import hopper
