@@ -74,15 +74,20 @@ def main():
         results["cheetah_physics_steps_per_s"] = round(chee_phys)
     except Exception as e:  # pragma: no cover
         results["cheetah_error"] = repr(e)[:120]
-    # humanoid is gated until the vectorized collision/constraint rework
-    # lands (its current unrolled graph compiles too slowly on-device)
-    if os.environ.get("BENCH_HUMANOID"):
-        try:
-            hum_env, hum_phys = bench_env("humanoid", "run", 512, 16)
-            results["humanoid_env_steps_per_s"] = round(hum_env)
-            results["humanoid_physics_steps_per_s"] = round(hum_phys)
-        except Exception as e:  # pragma: no cover
-            results["humanoid_error"] = repr(e)[:120]
+    try:
+        # ladder-3: flagship 21-DoF contact-rich humanoid (vectorized
+        # grouped collision/constraint assembly keeps the graph compact)
+        hum_env, hum_phys = bench_env("humanoid", "run", 1024, 32)
+        results["humanoid_env_steps_per_s"] = round(hum_env)
+        results["humanoid_physics_steps_per_s"] = round(hum_phys)
+    except Exception as e:  # pragma: no cover
+        results["humanoid_error"] = repr(e)[:120]
+    try:
+        # ladder-3b: quadruped:walk (ellipsoid feet, torque sensors)
+        quad_env, quad_phys = bench_env("quadruped", "walk", 1024, 32)
+        results["quadruped_env_steps_per_s"] = round(quad_env)
+    except Exception as e:  # pragma: no cover
+        results["quadruped_error"] = repr(e)[:120]
 
     value = round(cart_env)
     print(json.dumps({

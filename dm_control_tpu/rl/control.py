@@ -245,8 +245,26 @@ class Environment(dm_env.Environment):
 
         def _settle_fn(data: Data, diff):
             mm = apply_model_diff(m0, diff)
-            d = jax.lax.fori_loop(0, task.settle_steps,
-                                  lambda i, dd: engine.step(mm, dd), data)
+            from dm_control_tpu.physics.model import IntegratorType
+
+            # The reference's settle loop runs INSIDE reset_context
+            # (e.g. cheetah initialize_episode, suite/cheetah.py:71-73), so
+            # its first physics.step() is mj_step2-first (engine.py:154-166)
+            # over position/velocity-stage fields computed at qpos0 by
+            # reset()'s forward — the randomized qpos only enters through
+            # the integrator.  Replicate: forward a pristine state, graft
+            # the randomized qpos/qvel in, integrate, then step normally.
+            first = data
+            rest = task.settle_steps
+            if rest and mm.opt.integrator != int(IntegratorType.RK4):
+                d0 = engine.forward(mm, make_data(mm, data.qpos.dtype))
+                d1 = d0.replace(qpos=data.qpos, qvel=data.qvel,
+                                act=data.act, ctrl=data.ctrl,
+                                qacc_warmstart=d0.qacc)
+                first = engine.euler(mm, d1)
+                rest -= 1
+            d = jax.lax.fori_loop(0, rest,
+                                  lambda i, dd: engine.step(mm, dd), first)
             d = d.replace(time=jnp.zeros_like(d.time))
             return d
 

@@ -22,6 +22,14 @@ if "host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the heavyweight domain steps (humanoid, dog,
+# quadruped) dominate test wall time on first compile; cached reruns are
+# seconds (cache is keyed on HLO, so code changes invalidate naturally)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 3)
 _CPU_DEVICES = jax.local_devices(backend="cpu")
 assert len(_CPU_DEVICES) >= 8, _CPU_DEVICES
 jax.config.update("jax_default_device", _CPU_DEVICES[0])

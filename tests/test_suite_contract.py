@@ -2,10 +2,9 @@
 
 Parameterized over one task per domain: action spec conformance,
 observation/spec agreement, determinism under a fixed seed, registry
-structure.  Heavier domains run only with RUN_SLOW_TESTS=1.
+structure.  All domains run by default; deselect the heavyweight compiles
+with ``-m "not slow"`` for a quick pass.
 """
-
-import os
 
 import numpy as np
 import pytest
@@ -33,15 +32,19 @@ SLOW_TASKS = [
     ("manipulator", "bring_ball"),
     ("stacker", "stack_2"),
     ("humanoid_CMU", "stand"),
+    ("dog", "stand"),
 ]
 
-TASKS = FAST_TASKS + (SLOW_TASKS if os.environ.get("RUN_SLOW_TESTS") else [])
+TASKS = (
+    [pytest.param(d, t, id=f"{d}:{t}") for d, t in FAST_TASKS]
+    + [pytest.param(d, t, id=f"{d}:{t}", marks=pytest.mark.slow)
+       for d, t in SLOW_TASKS])
 
 
-@pytest.mark.parametrize("domain,task", TASKS,
-                         ids=[f"{d}:{t}" for d, t in TASKS])
+@pytest.mark.parametrize("domain,task", TASKS)
 def test_task_contract(domain, task):
     env = suite.load(domain, task, task_kwargs={"random": 99})
+    assert (domain, task) in suite.ALL_TASKS
     spec = env.action_spec()
     assert spec.shape == (env._model.nu,)
     ts = env.reset()
@@ -60,9 +63,7 @@ def test_task_contract(domain, task):
 
 def test_registry_matches_reference():
     ref = pytest.importorskip("dm_control.suite")
-    missing = set(ref.ALL_TASKS) - set(suite.ALL_TASKS)
-    # dog is mesh-based (deferred); everything else must be present
-    assert all(d == "dog" for d, _ in missing), missing
+    assert set(ref.ALL_TASKS) - set(suite.ALL_TASKS) == set()
     assert set(suite.BENCHMARKING) == set(ref.BENCHMARKING)
 
 
