@@ -648,7 +648,9 @@ class _Compiler:
         if section is None:
             return
         for t in section.children:
-            attrs = self._resolve(t, None, t.tag)
+            # Defaults blocks only ever contain <tendon> (never <fixed> /
+            # <spatial>): both tendon kinds share that defaults entry.
+            attrs = self._resolve(t, None, "tendon")
             adr = len(self.wraps)
             if t.tag == "fixed":
                 for w in t.children:
@@ -849,7 +851,9 @@ class _Compiler:
         bnames = {b["name"]: i for i, b in enumerate(self.bodies)}
         jnames = {j["name"]: i for i, j in enumerate(self.joints)}
         for e in section.children:
-            attrs = self._resolve(e, None, e.tag)
+            # All equality sub-types (connect/weld/joint/tendon/distance)
+            # share the single <equality> defaults entry (MuJoCo schema).
+            attrs = self._resolve(e, None, "equality")
             data = np.zeros(11)
             if e.tag == "connect":
                 etype = EqType.CONNECT

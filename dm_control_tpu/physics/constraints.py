@@ -65,6 +65,11 @@ def impedance(solimp, pos):
     x = jnp.clip(jnp.abs(pos) / jnp.maximum(width, _MINVAL), 0.0, 1.0)
     mid = jnp.clip(mid, _MINIMP, _MAXIMP)
     power = jnp.maximum(power, 1.0)
+    # MuJoCo clamps the endpoints dmin/dmax into [mjMINIMP, mjMAXIMP]
+    # BEFORE interpolating (so solimp d0=0 behaves as d0=1e-4), verified
+    # empirically against mj_forward efc_D on a probe model.
+    dmin = jnp.clip(dmin, _MINIMP, _MAXIMP)
+    dmax = jnp.clip(dmax, _MINIMP, _MAXIMP)
     y_lo = (x / mid) ** power * mid
     y_hi = 1.0 - ((1.0 - x) / (1.0 - mid)) ** power * (1.0 - mid)
     y = jnp.where(x < mid, y_lo, y_hi)

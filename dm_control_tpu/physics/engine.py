@@ -262,7 +262,19 @@ def set_const(m: Model) -> Model:
 
     if m.nv:
         minv = inr.solve_m(m, d, jnp.eye(m.nv, dtype=dtype))
-        dof_invweight0 = jnp.diag(minv)
+        # MuJoCo (mj_setConst) assigns each free joint's 3 translational /
+        # 3 rotational dofs the MEAN of their diag(M^-1) entries, and each
+        # ball joint's 3 dofs likewise; scalar joints get the raw diagonal.
+        diag = np.asarray(jnp.diag(minv)).copy()
+        for j in range(m.njnt):
+            adr = int(m.jnt_dofadr[j])
+            jt = int(m.jnt_type[j])
+            if jt == int(JointType.FREE):
+                diag[adr:adr + 3] = diag[adr:adr + 3].mean()
+                diag[adr + 3:adr + 6] = diag[adr + 3:adr + 6].mean()
+            elif jt == int(JointType.BALL):
+                diag[adr:adr + 3] = diag[adr:adr + 3].mean()
+        dof_invweight0 = jnp.asarray(diag, dtype)
         meaninertia = jnp.trace(d.qM) / m.nv
     else:
         dof_invweight0 = m.dof_invweight0
