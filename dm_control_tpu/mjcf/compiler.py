@@ -501,6 +501,9 @@ class _Compiler:
             bodyid=bodyid, pos=pos, quat=quat, size=size,
         ))
 
+    _CAM_MODES = {"fixed": 0, "track": 1, "trackcom": 2,
+                  "targetbody": 3, "targetbodycom": 4}
+
     def _compile_camera(self, elem: Element, bodyid: int,
                         childclass: Optional[str]):
         attrs = self._resolve(elem, childclass, "camera")
@@ -511,7 +514,8 @@ class _Compiler:
             pos=pos if pos is not None else np.zeros(3),
             quat=self._orientation(attrs),
             fovy=_float(attrs.get("fovy"), 45.0),
-            mode=attrs.get("mode", "fixed"),
+            mode=self._CAM_MODES[str(attrs.get("mode", "fixed"))],
+            target=str(attrs.get("target", "")),
         ))
 
     # -- inertia from geoms -------------------------------------------------
@@ -1164,6 +1168,21 @@ class _Compiler:
             site_size=f([s["size"] for s in sites]) if ns else f(np.zeros((0, 3))),
             site_pos=f([s["pos"] for s in sites]) if ns else f(np.zeros((0, 3))),
             site_quat=f([s["quat"] for s in sites]) if ns else f(np.zeros((0, 4))),
+            cam_bodyid=tuple(c["bodyid"] for c in self.cams),
+            cam_mode=tuple(c["mode"] for c in self.cams),
+            cam_targetbodyid=tuple(
+                next((i for i, b in enumerate(self.bodies)
+                      if b["name"] == c["target"]), -1)
+                for c in self.cams),
+            cam_pos=f([c["pos"] for c in self.cams])
+            if self.cams else f(np.zeros((0, 3))),
+            cam_quat=f([c["quat"] for c in self.cams])
+            if self.cams else f(np.zeros((0, 4))),
+            cam_fovy=f([c["fovy"] for c in self.cams])
+            if self.cams else f(np.zeros(0)),
+            cam_pos0=f(np.zeros((len(self.cams), 3))),
+            cam_poscom0=f(np.zeros((len(self.cams), 3))),
+            cam_mat0=f(np.tile(np.eye(3), (len(self.cams), 1, 1))),
             tendon_adr=tuple(t["adr"] for t in tendons),
             tendon_num=tuple(t["num"] for t in tendons),
             tendon_limited=tuple(int(t["limited"]) for t in tendons),

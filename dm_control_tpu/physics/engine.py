@@ -332,6 +332,21 @@ def set_const(m: Model) -> Model:
         z = jnp.zeros(0, dtype)
         m = m.replace(tendon_length0=z, tendon_invweight0=z)
 
+    if m.ncam:
+        # Reference-pose camera constants (mj_setConst): world pose of each
+        # camera at qpos0, stored as offsets used by the track/trackcom
+        # modes at render time (reference dm_control/mujoco/engine.py:593
+        # consumes these through mjv_updateScene -> mj_camlight).
+        bid = jnp.asarray(m.cam_bodyid, jnp.int32)
+        cam_xpos0 = d.xpos[bid] + jnp.einsum(
+            "cij,cj->ci", d.xmat[bid], m.cam_pos)
+        cam_xmat0 = d.xmat[bid] @ mx.quat_to_mat(m.cam_quat)
+        m = m.replace(
+            cam_pos0=cam_xpos0 - d.xpos[bid],
+            cam_poscom0=cam_xpos0 - d.subtree_com[bid],
+            cam_mat0=cam_xmat0,
+        )
+
     return m.replace(
         dof_invweight0=dof_invweight0,
         body_invweight0=body_invweight0,

@@ -390,6 +390,19 @@ class Model:
     hfield_size: jax.Array = None  # (nhfield, 4) rx, ry, elevation_z, base_z
     hfield_data: jax.Array = None  # (nrow, ncol) normalized [0, 1]
 
+    # ---- cameras (reference: dm_control/mujoco/engine.py:593 Camera;
+    # modes follow mjCAMLIGHT_*: 0 fixed, 1 track, 2 trackcom,
+    # 3 targetbody, 4 targetbodycom) ----
+    cam_bodyid: Tuple[int, ...] = static_field(default=())
+    cam_mode: Tuple[int, ...] = static_field(default=())
+    cam_targetbodyid: Tuple[int, ...] = static_field(default=())
+    cam_pos: jax.Array = None  # (ncam, 3) body-frame offset
+    cam_quat: jax.Array = None  # (ncam, 4) body-frame orientation
+    cam_fovy: jax.Array = None  # (ncam,) vertical field of view, degrees
+    cam_pos0: jax.Array = None  # (ncam, 3) world offset from body at qpos0
+    cam_poscom0: jax.Array = None  # (ncam, 3) offset from subtree com at qpos0
+    cam_mat0: jax.Array = None  # (ncam, 3, 3) world orientation at qpos0
+
     # ---- sites ----
     site_type: Tuple[int, ...] = static_field(default=())
     site_bodyid: Tuple[int, ...] = static_field(default=())

@@ -102,6 +102,19 @@ class Physics:
         after a state write, engine.py:268-295)."""
         self.forward()
 
+    def render(self, height: int = 240, width: int = 320, camera_id=-1,
+               overlays=(), depth: bool = False, segmentation: bool = False,
+               scene_option=None, render_flag_overrides=None,
+               scene_callback=None):
+        """Ray-cast render (reference Physics.render, engine.py:168-217).
+
+        Returns uint8 (H, W, 3) RGB, float32 (H, W) plane depth in
+        meters, or int32 (H, W, 2) [objid, objtype] segmentation."""
+        from dm_control_tpu import rendering
+        return rendering.render(
+            self, height=height, width=width, camera_id=camera_id,
+            depth=depth, segmentation=segmentation)
+
     def reset(self):
         self._data = make_data(self._model)
         self.forward()

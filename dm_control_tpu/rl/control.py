@@ -391,6 +391,15 @@ class _PhysicsView:
     def time(self):
         return float(self._state.data.time)
 
+    def render(self, height=240, width=320, camera_id=-1, overlays=(),
+               depth=False, segmentation=False, scene_option=None,
+               render_flag_overrides=None, scene_callback=None):
+        """Ray-cast render of the current state (engine.py:168-217)."""
+        from dm_control_tpu import rendering
+        return rendering.render(self, height=height, width=width,
+                                camera_id=camera_id, depth=depth,
+                                segmentation=segmentation)
+
 
 def compute_n_steps(control_timestep, physics_timestep, tolerance=1e-8):
     """Validated substep count (dm_control/rl/control.py:164-190)."""

@@ -1,11 +1,9 @@
 """Pixel-observation wrapper (reference: dm_control/suite/wrappers/
 pixels.py:25).
 
-Rendering is off-path in this framework (the reference renders through
-OpenGL contexts, dm_control/_render/); a minimal debug rasterizer is
-planned.  This wrapper preserves the reference API shape so downstream
-code can depend on it, raising a clear error until a render backend is
-registered via ``set_render_backend``.
+Renders through the built-in ray-cast rasterizer
+(dm_control_tpu/rendering/) by default; an alternative backend (e.g. a
+real GL renderer) can still be swapped in via ``set_render_backend``.
 """
 
 from __future__ import annotations
@@ -51,14 +49,12 @@ class Wrapper(dm_env.Environment):
             name=observation_key)
 
     def _render(self):
-        if _RENDER_BACKEND is None:
-            raise NotImplementedError(
-                "No render backend registered. Rendering is off-path in "
-                "dm_control_tpu (BASELINE.md: optional off-path raster); "
-                "register one with "
-                "dm_control_tpu.suite.wrappers.pixels.set_render_backend.")
-        return _RENDER_BACKEND(self._env.physics, self._height, self._width,
-                               self._camera_id)
+        if _RENDER_BACKEND is not None:
+            return _RENDER_BACKEND(self._env.physics, self._height,
+                                   self._width, self._camera_id)
+        return self._env.physics.render(
+            height=self._height, width=self._width,
+            camera_id=self._camera_id)
 
     def _add_pixels(self, timestep):
         if self._pixels_only:
