@@ -81,9 +81,11 @@ def _any_nonzero_possible(x) -> bool:
 def fwd_constraint(m: Model, d: Data) -> Data:
     efc = cons.make_constraint(m, d)
     if efc.nefc == 0:
-        return d.replace(qacc=d.qacc_smooth,
-                         qfrc_constraint=jnp.zeros_like(d.qfrc_smooth),
-                         contact_force=jnp.zeros_like(d.contact_force))
+        return d.replace(
+            qacc=d.qacc_smooth,
+            qfrc_constraint=jnp.zeros_like(d.qfrc_smooth),
+            contact_force=jnp.zeros_like(d.contact_force),
+            contact_force_vec=jnp.zeros_like(d.contact_force_vec))
     return slv.solve(m, d, efc)
 
 

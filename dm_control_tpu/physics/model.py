@@ -588,6 +588,8 @@ class Data:
     # ---- contacts / constraints ----
     contact: Contact
     contact_force: jax.Array  # (ncon,) normal force per contact row
+    contact_force_vec: jax.Array  # (ncon, 6) contact-frame wrench
+    # [f_normal, f_t1, f_t2, trq_n, trq_t1, trq_t2] (mj_contactForce)
     qfrc_constraint: jax.Array  # (nv,)
 
     # ---- acceleration ----
@@ -654,6 +656,7 @@ def make_data(m: Model, dtype=None) -> Data:
         ten_velocity=z(m.ntendon),
         contact=contact,
         contact_force=z(ncon),
+        contact_force_vec=z(ncon, 6),
         qfrc_constraint=z(m.nv),
         qfrc_smooth=z(m.nv),
         qacc_smooth=z(m.nv),

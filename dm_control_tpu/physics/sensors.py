@@ -305,19 +305,54 @@ def _rne_postconstraint(m: Model, d: Data):
         cacc.append(a)
     cacc = jnp.stack(cacc)
 
-    # body forces: f_i = I a + v x* I v  minus external (contact+applied)
+    # body forces: f_i = I a + v x* I v  minus external (contact + applied),
+    # matching mj_rnePostConstraint's cfrc_int accounting.
     cfrc_body = mx.inert_mul(d.cinert, cacc) + mx.force_cross(
         d.cvel, mx.inert_mul(d.cinert, d.cvel))
 
-    # subtract contact forces mapped to body frames
-    # (approximation: full cfrc external accounting added with touch grid)
-    acc = [cfrc_body[i] for i in range(m.nbody)]
+    cfrc_ext = _cfrc_ext(m, d)
+    acc = [cfrc_body[i] - cfrc_ext[i] for i in range(m.nbody)]
     for level in reversed(m.body_tree_levels):
         for i in level:
             p = m.body_parentid[i]
             acc[p] = acc[p] + acc[i]
     cfrc_int = jnp.stack(acc)
     return cacc, cfrc_int
+
+
+def _cfrc_ext(m: Model, d: Data):
+    """External (contact + xfrc_applied) wrench per body, expressed at the
+    subtree com of each body's kinematic root in world axes — the com-based
+    frame cfrc_int lives in (mj_rnePostConstraint).  Equality connect/weld
+    reaction forces are not yet accounted (none of the suite's sensor-
+    bearing models combine them with force sensors)."""
+    dtype = d.qpos.dtype
+    root_com = d.subtree_com[jnp.asarray(m.body_rootid, jnp.int32)]
+    cfrc_ext = jnp.zeros((m.nbody, 6), dtype)
+
+    ncon = len(d.contact.dim)
+    if ncon:
+        b1 = jnp.asarray([m.geom_bodyid[g] for g in d.contact.geom1])
+        b2 = jnp.asarray([m.geom_bodyid[g] for g in d.contact.geom2])
+        wrench = d.contact_force_vec  # (ncon, 6) in contact frame
+        # world force/torque: frame rows are the axes (normal, t1, t2)
+        f_w = jnp.einsum("kij,ki->kj", d.contact.frame, wrench[:, :3])
+        t_w = jnp.einsum("kij,ki->kj", d.contact.frame, wrench[:, 3:])
+        # spatial force at contact point -> com-based frame of each body:
+        # (torque, force) with torque shifted by (pos - com) x force
+        for sign, bs in ((1.0, b2), (-1.0, b1)):
+            offset = d.contact.pos - root_com[bs]  # (ncon, 3)
+            trq = sign * (t_w + jnp.cross(offset, f_w))
+            frc = sign * f_w
+            sp = jnp.concatenate([trq, frc], axis=-1)  # (ncon, 6)
+            cfrc_ext = cfrc_ext.at[bs].add(sp)
+
+    # xfrc_applied: [force(3), torque(3)] at xipos, world axes
+    off = d.xipos - root_com
+    trq = d.xfrc_applied[:, 3:] + jnp.cross(off, d.xfrc_applied[:, :3])
+    cfrc_ext = cfrc_ext + jnp.concatenate(
+        [trq, d.xfrc_applied[:, :3]], axis=-1)
+    return cfrc_ext
 
 
 def _rangefinder(m: Model, d: Data, siteid: int):

@@ -144,19 +144,32 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
     efc_force = -dcost
     qfrc_constraint = efc.J.T @ efc_force
 
-    # per-contact normal force: pyramidal rows each contribute their force
-    # 1:1 to the normal direction (rows are n ± mu t); recovered group-wise
+    # per-contact force recovery (mj_contactForce for pyramidal cones):
+    # rows are n ± mu_i t_i in order (+t0,-t0,+t1,-t1,...), so
+    #   normal  = sum_j f_j
+    #   comp_i  = mu_i (f_{2i} - f_{2i+1})   (t1, t2, then torques)
     contact_force = d.contact_force
+    contact_force_vec = d.contact_force_vec
     if efc.contact_spans:
         contact_force = jnp.zeros_like(d.contact_force)
+        contact_force_vec = jnp.zeros_like(d.contact_force_vec)
         for conids, start, nrows in efc.contact_spans:
             k = len(conids)
+            ids = jnp.asarray(conids)
             group = efc_force[start:start + k * nrows].reshape(k, nrows)
-            contact_force = contact_force.at[jnp.asarray(conids)].set(
-                jnp.sum(group, axis=1))
+            normal = jnp.sum(group, axis=1)
+            wrench = jnp.zeros((k, 6), group.dtype).at[:, 0].set(normal)
+            if nrows > 1:
+                nfd = nrows // 2
+                mu = d.contact.friction[ids]  # (k, 5)
+                diff = group[:, 0::2] - group[:, 1::2]  # (k, nfd)
+                wrench = wrench.at[:, 1:1 + nfd].set(mu[:, :nfd] * diff)
+            contact_force = contact_force.at[ids].set(normal)
+            contact_force_vec = contact_force_vec.at[ids].set(wrench)
     return d.replace(
         qacc=x,
         qfrc_constraint=qfrc_constraint,
         contact_force=contact_force,
+        contact_force_vec=contact_force_vec,
         solver_niter=niter,
     )

@@ -208,7 +208,10 @@ class Environment(dm_env.Environment):
             d = sens.sensor_pos(mm, d)
             d = engine.fwd_velocity(mm, d)
             d = sens.sensor_vel(mm, d)
-            d = sens.sensor_acc(mm, d)
+            # NOTE: acceleration-stage sensors (force/torque/accelerometer/
+            # touch) are deliberately NOT refreshed: the reference's
+            # mj_step2 ... mj_step1 split (engine.py:149-166) leaves them
+            # at the values computed inside the last substep's forward.
             return d
 
         def _step_fn(data: Data, diff, action):
