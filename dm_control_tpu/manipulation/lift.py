@@ -57,6 +57,53 @@ class Lift(ArmTask):
                                   margin=0.3)
         return 0.8 * lift + 0.2 * reach
 
+    # -- batched path (composer.batch.BatchableTask) -------------------------
+
+    def batch_model_diff(self, m):
+        import jax.numpy as jnp
+
+        return {"_target_height": jnp.zeros((), m.dtype)}
+
+    def batch_init(self, m, qpos, qvel, rc, diff):
+        import jax.numpy as jnp
+
+        qpos = self._batch_randomize_arm(m, qpos, rc)
+        adr, _ = self._free_joint(m, self._prop)
+        pos = rc.uniform(jnp.asarray(_PROP_BOX.lower),
+                         jnp.asarray(_PROP_BOX.upper))
+        qpos = qpos.at[adr:adr + 3].set(pos)
+        # reference lift.py:190 — target is initial height + lift distance
+        diff = dict(diff, _target_height=jnp.asarray(
+            pos[2] + _DISTANCE_TO_LIFT, m.dtype))
+        return qpos, qvel, diff
+
+    def batch_observation(self, m, d):
+        import collections
+
+        obs = collections.OrderedDict()
+        self._batch_arm_obs(m, d, obs)
+        _, bid = self._free_joint(m, self._prop)
+        obs["prop_position"] = d.xpos[bid]
+        obs["prop_quaternion"] = d.xquat[bid]
+        obs["pinch_position"] = d.site_xpos[self._pinch_site_id(m)]
+        obs["target_height"] = m.task_state["_target_height"][None]
+        return obs
+
+    def batch_reward(self, m, d):
+        import jax.numpy as jnp
+
+        _, bid = self._free_joint(m, self._prop)
+        prop_height = d.xpos[bid, 2]
+        target = m.task_state["_target_height"]
+        lift = rewards.tolerance(
+            prop_height, bounds=(target, jnp.inf),
+            margin=_DISTANCE_TO_LIFT, value_at_margin=0.0,
+            sigmoid="linear")
+        reach_dist = jnp.linalg.norm(
+            d.site_xpos[self._pinch_site_id(m)] - d.xpos[bid])
+        reach = rewards.tolerance(reach_dist, bounds=(0, 0.05), margin=0.3)
+        return 0.8 * lift + 0.2 * reach
+
 
 def _make(prop_name, obs_settings):
     from dm_control_tpu import composer

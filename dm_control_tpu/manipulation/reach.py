@@ -74,6 +74,53 @@ class Reach(ArmTask):
         return rewards.tolerance(distance, bounds=(0, _TARGET_RADIUS),
                                  margin=_TARGET_RADIUS)
 
+    # -- batched path (composer.batch.BatchableTask) -------------------------
+
+    def batch_model_diff(self, m):
+        if self._use_site:
+            return {"site_pos": m.site_pos}
+        return {}
+
+    def batch_init(self, m, qpos, qvel, rc, diff):
+        import jax.numpy as jnp
+
+        qpos = self._batch_randomize_arm(m, qpos, rc)
+        if self._prop is not None:
+            adr, _ = self._free_joint(m, self._prop)
+            pos = rc.uniform(jnp.asarray(_PROP_BOX.lower),
+                             jnp.asarray(_PROP_BOX.upper))
+            qpos = qpos.at[adr:adr + 3].set(pos)
+        else:
+            tid = m.names.site["target"]
+            tpos = rc.uniform(jnp.asarray(_TARGET_BOX.lower),
+                              jnp.asarray(_TARGET_BOX.upper))
+            diff = dict(diff, site_pos=diff["site_pos"].at[tid].set(tpos))
+        return qpos, qvel, diff
+
+    def _batch_target_pos(self, m, d):
+        if self._prop is not None:
+            _, bid = self._free_joint(m, self._prop)
+            return d.xpos[bid]
+        return d.site_xpos[m.names.site["target"]]
+
+    def batch_observation(self, m, d):
+        import collections
+
+        obs = collections.OrderedDict()
+        self._batch_arm_obs(m, d, obs)
+        obs["target_position"] = self._batch_target_pos(m, d)
+        obs["pinch_position"] = d.site_xpos[self._pinch_site_id(m)]
+        return obs
+
+    def batch_reward(self, m, d):
+        import jax.numpy as jnp
+
+        distance = jnp.linalg.norm(
+            d.site_xpos[self._pinch_site_id(m)]
+            - self._batch_target_pos(m, d))
+        return rewards.tolerance(distance, bounds=(0, _TARGET_RADIUS),
+                                 margin=_TARGET_RADIUS)
+
 
 def _make(use_site, obs_settings):
     from dm_control_tpu import composer

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from dm_control_tpu import composer
+from dm_control_tpu.composer.batch import BatchableTask
 from dm_control_tpu.entities.manipulators.arm import (PrimitiveArm,
                                                       PrimitiveHand)
 from dm_control_tpu.manipulation.shared import arenas, constants
@@ -20,7 +21,7 @@ from dm_control_tpu.manipulation.shared import observations as obs_mod
 from dm_control_tpu.manipulation.shared import workspaces
 
 
-class ArmTask(composer.Task):
+class ArmTask(composer.Task, BatchableTask):
     """Arena + arm + hand; subclasses add props and rewards."""
 
     def __init__(self, obs_settings=None):
@@ -81,3 +82,41 @@ class ArmTask(composer.Task):
 
     def initialize_episode(self, physics, random_state):
         self._randomize_arm(physics, random_state)
+
+    # -- batched-path (BatchableTask) helpers --------------------------------
+
+    def _arm_qpos_addrs(self, m):
+        return [int(m.jnt_qposadr[m.names.joint[f"{self._arm.name}/{j}"]])
+                for j in self._arm.joints]
+
+    def _arm_dof_addrs(self, m):
+        return [int(m.jnt_dofadr[m.names.joint[f"{self._arm.name}/{j}"]])
+                for j in self._arm.joints]
+
+    def _pinch_site_id(self, m):
+        return m.names.site[
+            f"{self._arm.name}/{self._hand.name}/pinch_site"]
+
+    def _free_joint(self, m, entity):
+        """(qpos_adr, body_id) of a free entity's root joint (named
+        '<frame>_root' by Arena.add_free_entity)."""
+        for name, j in m.names.joint.items():
+            if name.startswith(entity.name) and name.endswith("_root"):
+                return int(m.jnt_qposadr[j]), int(m.jnt_bodyid[j])
+        raise KeyError(f"no free root joint for entity {entity.name!r}")
+
+    def _batch_randomize_arm(self, m, qpos, rc):
+        """jax mirror of _randomize_arm (uniform(-0.2, 0.2) per joint)."""
+        angles = rc.uniform(-0.2, 0.2, size=len(self._arm.joints))
+        for i, adr in enumerate(self._arm_qpos_addrs(m)):
+            qpos = qpos.at[adr].set(angles[i])
+        return qpos
+
+    def _batch_arm_obs(self, m, d, obs):
+        import jax.numpy as jnp
+
+        qadr = jnp.asarray(self._arm_qpos_addrs(m))
+        dadr = jnp.asarray(self._arm_dof_addrs(m))
+        obs["arm/joints_pos"] = d.qpos[qadr]
+        obs["arm/joints_vel"] = d.qvel[dadr]
+        return obs

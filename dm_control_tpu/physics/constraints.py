@@ -34,6 +34,7 @@ _MAXIMP = 0.9999
 EQUALITY = 0
 FRICTIONLOSS = 1
 LIMIT = 2  # unilateral: limits and contact rows
+CONE = 3  # elliptic-cone contact rows (grouped per contact)
 
 
 @pytree_dataclass
@@ -50,6 +51,11 @@ class Efc:
     # per condim-group: (contact_indices, first_row, rows_per_contact) —
     # contact normal forces are recovered group-wise (vectorized)
     contact_spans: Tuple[Tuple[Tuple[int, ...], int, int], ...] = \
+        static_field(default=())
+    # elliptic-cone groups: (contact_indices, first_row, condim); each
+    # contact occupies ``condim`` consecutive rows (normal, tangents,
+    # torsion, rolls) handled jointly by the solver's cone cost
+    cone_spans: Tuple[Tuple[Tuple[int, ...], int, int], ...] = \
         static_field(default=())
 
     @property
@@ -110,9 +116,14 @@ class _Blocks:
         self.floss: List = []
         self.active: List = []
         self.kinds: List[int] = []
+        self._raw_rows: List = []
 
     def add(self, J, pos, solref, solimp, diag, vel, kind, floss=None,
             active=None):
+        # raw rows are concatenated after computed rows at build time, so
+        # computed rows must all be added first (contacts come last in
+        # make_constraint, and only elliptic contacts use add_raw)
+        assert not self._raw_rows, "add() after add_raw() breaks row order"
         """Adds a block of rows.  All args are arrays with leading dim R
         (or broadcastable); ``kind`` is a single static int for the block."""
         J = jnp.atleast_2d(J)
@@ -132,26 +143,58 @@ class _Blocks:
         self.active.append(act)
         self.kinds.extend([kind] * r)
 
-    def build(self, contact_spans) -> Efc:
+    @property
+    def nrows(self) -> int:
+        return len(self.kinds)
+
+    def add_raw(self, J, aref, D, R, pos, kind):
+        """Adds rows with precomputed aref/D/R (elliptic-cone contacts,
+        whose friction rows derive D from the normal row's impedance
+        rather than their own solref/solimp evaluation)."""
+        J = jnp.atleast_2d(J)
+        r = J.shape[0]
+        self._raw_rows.append((J, jnp.broadcast_to(aref, (r,)),
+                               jnp.broadcast_to(D, (r,)),
+                               jnp.broadcast_to(R, (r,)),
+                               jnp.broadcast_to(jnp.asarray(pos, self.dtype),
+                                                (r,))))
+        self.kinds.extend([kind] * r)
+
+    def build(self, contact_spans, cone_spans=()) -> Efc:
         m, dtype = self.m, self.dtype
         if not self.kinds:
             z = jnp.zeros((0,), dtype)
             return Efc(J=jnp.zeros((0, m.nv), dtype), D=z, R=z, aref=z,
-                       pos=z, floss=z, kind=(), contact_spans=())
-        J = jnp.concatenate(self.J)
-        pos = jnp.concatenate(self.pos)
-        solref = jnp.concatenate(self.solref)
-        solimp = jnp.concatenate(self.solimp)
-        diag = jnp.concatenate(self.diag)
-        vel = jnp.concatenate(self.vel)
-        floss = jnp.concatenate(self.floss)
-        active = jnp.concatenate(self.active)
-        k, b, imp = kbi(m, solref, solimp, pos)
-        aref = -b * vel - k * pos
-        r_reg = jnp.maximum(_MINVAL, (1.0 - imp) / imp * diag)
-        d_vec = jnp.where(active, 1.0 / r_reg, 0.0)
+                       pos=z, floss=z, kind=(), contact_spans=(),
+                       cone_spans=())
+        if self.J:
+            J = jnp.concatenate(self.J)
+            pos = jnp.concatenate(self.pos)
+            solref = jnp.concatenate(self.solref)
+            solimp = jnp.concatenate(self.solimp)
+            diag = jnp.concatenate(self.diag)
+            vel = jnp.concatenate(self.vel)
+            floss = jnp.concatenate(self.floss)
+            active = jnp.concatenate(self.active)
+            k, b, imp = kbi(m, solref, solimp, pos)
+            aref = -b * vel - k * pos
+            r_reg = jnp.maximum(_MINVAL, (1.0 - imp) / imp * diag)
+            d_vec = jnp.where(active, 1.0 / r_reg, 0.0)
+        else:
+            J = jnp.zeros((0, m.nv), dtype)
+            pos = aref = r_reg = d_vec = floss = jnp.zeros((0,), dtype)
+        if self._raw_rows:
+            zf = jnp.zeros((sum(r[0].shape[0] for r in self._raw_rows),),
+                           dtype)
+            J = jnp.concatenate([J] + [r[0] for r in self._raw_rows])
+            aref = jnp.concatenate([aref] + [r[1] for r in self._raw_rows])
+            d_vec = jnp.concatenate([d_vec] + [r[2] for r in self._raw_rows])
+            r_reg = jnp.concatenate([r_reg] + [r[3] for r in self._raw_rows])
+            pos = jnp.concatenate([pos] + [r[4] for r in self._raw_rows])
+            floss = jnp.concatenate([floss, zf])
         return Efc(J=J, D=d_vec, R=r_reg, aref=aref, pos=pos, floss=floss,
-                   kind=tuple(self.kinds), contact_spans=contact_spans)
+                   kind=tuple(self.kinds), contact_spans=contact_spans,
+                   cone_spans=cone_spans)
 
 
 def make_constraint(m: Model, d: Data) -> Efc:
@@ -159,6 +202,7 @@ def make_constraint(m: Model, d: Data) -> Efc:
     blocks = _Blocks(m, dtype)
     dis = m.opt.disableflags
     contact_spans: Tuple = ()
+    cone_spans: Tuple = ()
     if not (dis & DisableBit.CONSTRAINT):
         if not (dis & DisableBit.EQUALITY):
             _equality_rows(m, d, blocks)
@@ -167,8 +211,8 @@ def make_constraint(m: Model, d: Data) -> Efc:
         if not (dis & DisableBit.LIMIT):
             _limit_rows(m, d, blocks)
         if not (dis & DisableBit.CONTACT):
-            contact_spans = _contact_rows(m, d, blocks)
-    return blocks.build(contact_spans)
+            contact_spans, cone_spans = _contact_rows(m, d, blocks)
+    return blocks.build(contact_spans, cone_spans)
 
 
 # ---------------------------------------------------------------------------
@@ -347,7 +391,7 @@ def _contact_rows(m: Model, d: Data, blocks: _Blocks):
     con = d.contact
     ncon = len(con.dim)
     if ncon == 0:
-        return ()
+        return (), ()
     dtype = blocks.dtype
     b1s = tuple(m.geom_bodyid[g] for g in con.geom1)
     b2s = tuple(m.geom_bodyid[g] for g in con.geom2)
@@ -372,8 +416,10 @@ def _contact_rows(m: Model, d: Data, blocks: _Blocks):
     inv_pyr = (inv + mu0 * mu0 * inv) * 2.0 * mu0 * mu0 / m.opt.impratio
 
     # group contacts by condim (static)
+    elliptic = int(m.opt.cone) == 1
     dims = np.array(con.dim)
     spans = []
+    cone_spans = []
     row_base = len(blocks.kinds)
     for condim in sorted(set(con.dim)):
         idx = np.nonzero(dims == condim)[0]
@@ -385,6 +431,35 @@ def _contact_rows(m: Model, d: Data, blocks: _Blocks):
             blocks.add(J, pos_eff[gidx], con.solref[gidx], con.solimp[gidx],
                        inv[gidx], jnp.einsum("kv,v->k", J, d.qvel), LIMIT,
                        active=pos_eff[gidx] < 0)
+            spans.append((tuple(int(c) for c in idx), row_base, nrows))
+        elif elliptic:
+            # elliptic cone: condim rows per contact (normal, tangents,
+            # torsion, rolls), handled jointly by the solver's cone cost.
+            # Empirically matched against mj_forward efc rows (mujoco 3.10,
+            # cone=elliptic): friction-row aref = -b*vel (no position
+            # term); friction-row D = D0 * impratio * (fric_j/fric_0)^2.
+            nrows = condim
+            kk, b, imp = kbi(m, con.solref[gidx], con.solimp[gidx],
+                             pos_eff[gidx])
+            r0 = jnp.maximum(_MINVAL, (1.0 - imp) / imp * inv[gidx])
+            active = pos_eff[gidx] < 0
+            d0 = jnp.where(active, 1.0 / r0, 0.0)
+            fri = con.friction[gidx, :condim - 1]  # (k, condim-1)
+            dj = (d0[:, None] * m.opt.impratio
+                  * (fri / fri[:, :1]) ** 2)  # (k, condim-1)
+            Jg = jnp.stack([jn[gidx]] + [jt[i][gidx]
+                                         for i in range(condim - 1)],
+                           axis=1)  # (k, condim, nv)
+            vel = jnp.einsum("krv,v->kr", Jg, d.qvel)
+            aref = -b[:, None] * vel
+            aref = aref.at[:, 0].add(-kk * pos_eff[gidx])
+            D = jnp.concatenate([d0[:, None], dj], axis=1)  # (k, condim)
+            R = 1.0 / jnp.maximum(D, _MINVAL)
+            blocks.add_raw(Jg.reshape(k * condim, m.nv),
+                           aref.reshape(-1), D.reshape(-1), R.reshape(-1),
+                           jnp.repeat(pos_eff[gidx], condim), CONE)
+            cone_spans.append((tuple(int(c) for c in idx), row_base,
+                               condim))
         else:
             nfd = condim - 1  # friction dimensions
             rows = []
@@ -401,6 +476,6 @@ def _contact_rows(m: Model, d: Data, blocks: _Blocks):
                        rep(con.solimp[gidx]), rep(inv_pyr[gidx]),
                        jnp.einsum("kv,v->k", J, d.qvel), LIMIT,
                        active=rep(pos_eff[gidx]) < 0)
-        spans.append((tuple(int(c) for c in idx), row_base, nrows))
+            spans.append((tuple(int(c) for c in idx), row_base, nrows))
         row_base += k * nrows
-    return tuple(spans)
+    return tuple(spans), tuple(cone_spans)

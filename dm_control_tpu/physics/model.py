@@ -475,6 +475,11 @@ class Model:
     # ---- names (host-side only; static) ----
     names: Any = static_field(default=None)  # NameMap
 
+    # per-episode task state (pytree): populated by apply_model_diff from
+    # "_"-prefixed model_diff keys so batched tasks can carry per-env
+    # scalars (e.g. a sampled target height) alongside model overrides
+    task_state: Any = None
+
     @property
     def dtype(self):
         return self.qpos0.dtype

@@ -8,10 +8,12 @@ where a_s = qacc_smooth and s_i is, per row kind:
   - equality:      0.5 D_i jar^2                      (always active)
   - unilateral:    0.5 D_i jar^2 if jar < 0 else 0    (limits, contacts)
   - frictionloss:  Huber: quadratic inside |D jar| <= floss, linear outside
+  - elliptic cone: grouped per contact (see _cone_eval) — zones matched
+    empirically against mj_forward efc_force/efc_state (mujoco 3.10)
 
-Newton steps use the exact Gauss-Newton Hessian M + J^T diag(D·active) J
+Newton steps use the exact Hessian M + J^T diag(D·active) J + cone blocks
 (dense: nv <= ~64 per env, batched over environments → MXU), with an exact
-line search on the piecewise-quadratic 1D restriction.  Early termination
+line search on the piecewise-smooth 1D restriction.  Early termination
 matches MuJoCo's criteria (improvement / gradient below
 tolerance * meaninertia * max(1, nv)).
 """
@@ -23,8 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from dm_control_tpu.physics import inertia as inr
-from dm_control_tpu.physics.constraints import EQUALITY, FRICTIONLOSS, LIMIT, Efc
+from dm_control_tpu.physics.constraints import (
+    CONE, EQUALITY, FRICTIONLOSS, LIMIT, Efc,
+)
 from dm_control_tpu.physics.model import Data, DisableBit, Model
+
+_MINVAL = 1e-15
 
 
 def _masks(efc: Efc):
@@ -36,7 +42,8 @@ def _masks(efc: Efc):
 
 
 def _cost_terms(efc: Efc, jar, eq, fl, uni):
-    """Per-row cost, derivative weight (for grad), and Hessian weight."""
+    """Per-row cost, derivative weight (for grad), and Hessian weight for
+    the independent (non-cone) rows; cone rows produce zeros here."""
     d_ = efc.D
     quad_active = eq | (uni & (jar < 0))
     # friction loss Huber
@@ -59,17 +66,99 @@ def _cost_terms(efc: Efc, jar, eq, fl, uni):
     return cost, dcost, hess_w
 
 
+def _cone_groups(efc: Efc, d: Data, impratio):
+    """Precomputes static per-group arrays for the elliptic-cone spans."""
+    groups = []
+    for conids, start, dim in efc.cone_spans:
+        k = len(conids)
+        ids = jnp.asarray(conids)
+        sl = (start, k, dim)
+        fri = d.contact.friction[ids, :dim - 1]  # (k, dim-1)
+        mu = fri[:, 0] / jnp.sqrt(impratio)
+        Dg = jax.lax.dynamic_slice_in_dim(
+            efc.D, start, k * dim).reshape(k, dim)
+        groups.append((sl, fri, mu, Dg))
+    return groups
+
+
+def _cone_eval(groups, jar, need_hess=False):
+    """Cost/gradient (and optionally per-contact Hessian blocks) of the
+    elliptic-cone terms at ``jar``.
+
+    Zone structure (verified against mujoco 3.10 efc_state/efc_force):
+    with n = jar[0], u_j = friction_j * jar_j, t = ||u||,
+    mu = friction[0]/sqrt(impratio):
+      - top (separating, state 0):   n >= t           -> no cost
+      - bottom (sticking, state 1):  mu^2 n + t <= 0  -> per-row quadratic
+        with friction-row D = D0 * impratio * (friction_j/friction_0)^2
+      - middle (sliding, state 4):   otherwise        ->
+        0.5 * D0/(1+mu^2) * (n - t)^2;  force lies on the cone surface
+    """
+    cost = jnp.zeros((), jar.dtype)
+    dparts = []
+    hess = []
+    for (start, k, dim), fri, mu, Dg in groups:
+        jar_g = jax.lax.dynamic_slice_in_dim(
+            jar, start, k * dim).reshape(k, dim)
+        D0 = Dg[:, 0]
+        n = jar_g[:, 0]
+        u = fri * jar_g[:, 1:]
+        tt = jnp.sqrt(jnp.sum(u * u, -1))
+        tts = jnp.maximum(tt, _MINVAL)
+        active = D0 > 0
+        bottom = (mu * mu * n + tt <= 0) & active
+        top = n >= tt
+        mid = active & ~bottom & ~top
+        dm = D0 / (1.0 + mu * mu)
+        nmt = n - tt
+        c_bot = 0.5 * jnp.sum(Dg * jar_g * jar_g, -1)
+        c_mid = 0.5 * dm * nmt * nmt
+        cost += jnp.sum(jnp.where(bottom, c_bot,
+                                  jnp.where(mid, c_mid, 0.0)))
+        w = fri * u / tts[:, None]  # (k, dim-1) = fri_j^2 jar_j / t
+        ones = jnp.ones((k, 1), jar.dtype)
+        g = jnp.concatenate([ones, -w], axis=1)  # grad of (n - t)
+        d_mid = (dm * nmt)[:, None] * g
+        d_bot = Dg * jar_g
+        dg = jnp.where(bottom[:, None], d_bot,
+                       jnp.where(mid[:, None], d_mid, 0.0))
+        dparts.append((start, dg.reshape(-1)))
+        if need_hess:
+            # mid: dm (g g^T) + dm (t - n)/t (diag(fri^2) - w w^T) on the
+            # tangent block; bottom: diag(Dg); top: 0.  PSD by zone defn.
+            eye_t = jnp.eye(dim - 1, dtype=jar.dtype)
+            tang = (fri[:, :, None] * fri[:, None, :] * eye_t
+                    - w[:, :, None] * w[:, None, :])
+            curv = jnp.zeros((k, dim, dim), jar.dtype)
+            curv = curv.at[:, 1:, 1:].set(tang)
+            h_mid = (dm[:, None, None] * g[:, :, None] * g[:, None, :]
+                     + (dm * (tt - n) / tts)[:, None, None] * curv)
+            h_bot = Dg[:, :, None] * jnp.eye(dim, dtype=jar.dtype)
+            hc = jnp.where(bottom[:, None, None], h_bot,
+                           jnp.where(mid[:, None, None], h_mid, 0.0))
+            hess.append(hc)
+    return cost, dparts, hess
+
+
+def _scatter(dcost, dparts):
+    for start, dg in dparts:
+        dcost = jax.lax.dynamic_update_slice_in_dim(dcost, dg, start, 0)
+    return dcost
+
+
 def solve(m: Model, d: Data, efc: Efc) -> Data:
     dtype = d.qpos.dtype
     eq, fl, uni = _masks(efc)
+    cone_groups = _cone_groups(efc, d, m.opt.impratio)
     a_s = d.qacc_smooth
     M = d.qM
 
     def total_cost(x):
         jar = efc.J @ x - efc.aref
         cost, _, _ = _cost_terms(efc, jar, eq, fl, uni)
+        ccost, _, _ = _cone_eval(cone_groups, jar)
         dx = x - a_s
-        return 0.5 * dx @ (M @ dx) + jnp.sum(cost), jar
+        return 0.5 * dx @ (M @ dx) + jnp.sum(cost) + ccost, jar
 
     # warm start: pick the better of qacc_smooth and the previous qacc
     warmstart_ok = not (m.opt.disableflags & DisableBit.WARMSTART)
@@ -95,13 +184,20 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
         x, cost, _, _, it = carry
         jar = efc.J @ x - efc.aref
         _, dcost, hw = _cost_terms(efc, jar, eq, fl, uni)
+        ccost, dparts, hblocks = _cone_eval(cone_groups, jar,
+                                            need_hess=True)
+        dcost = _scatter(dcost, dparts)
         grad = M @ (x - a_s) + efc.J.T @ dcost
         H = M + (efc.J.T * hw) @ efc.J
+        for ((start, k, dim), *_), hc in zip(cone_groups, hblocks):
+            Jg = jax.lax.dynamic_slice_in_dim(
+                efc.J, start, k * dim).reshape(k, dim, m.nv)
+            H = H + jnp.einsum("kiv,kij,kjw->vw", Jg, hc, Jg)
         L = jnp.linalg.cholesky(H)
         y = jax.scipy.linalg.solve_triangular(L, grad, lower=True)
         p = -jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 
-        # exact line search on the piecewise-quadratic φ(α)
+        # exact line search on the piecewise-smooth φ(α)
         jp = efc.J @ p
         mp = M @ p
         p_mp = p @ mp
@@ -110,21 +206,49 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
         def phi_derivs(alpha):
             jar_a = jar + alpha * jp
             _, dcost_a, hw_a = _cost_terms(efc, jar_a, eq, fl, uni)
+            _, dparts_a, hb_a = _cone_eval(cone_groups, jar_a,
+                                           need_hess=True)
+            dcost_a = _scatter(dcost_a, dparts_a)
             d1 = (x_as + alpha * p) @ mp + jnp.sum(dcost_a * jp)
             d2 = p_mp + jnp.sum(hw_a * jp * jp)
+            for ((start, k, dim), *_), hc in zip(cone_groups, hb_a):
+                jp_g = jax.lax.dynamic_slice_in_dim(
+                    jp, start, k * dim).reshape(k, dim)
+                d2 = d2 + jnp.einsum("ki,kij,kj->", jp_g, hc, jp_g)
             return d1, d2
 
-        def ls_body(k, alpha):
-            d1, d2 = phi_derivs(alpha)
-            step = d1 / jnp.maximum(d2, 1e-15)
-            return alpha - step
+        # Safeguarded exact line search: φ is convex and piecewise smooth
+        # (zone switches in cone/limit rows make plain 1D Newton cycle and
+        # stall far from the minimizer).  Bracket the root of φ' by
+        # doubling, then interleave Newton steps with bisection, keeping
+        # the bracket invariant φ'(lo) < 0 < φ'(hi).
+        one = jnp.asarray(1.0, dtype)
 
-        # Newton on the piecewise-quadratic φ converges to fp precision in
-        # well under 12 iterations; MuJoCo's default ls_iterations=50 would
-        # only add dead kernels to the unrolled graph.
-        alpha = jax.lax.fori_loop(0, min(m.opt.ls_iterations, 12), ls_body,
-                                  jnp.asarray(1.0, dtype))
-        alpha = jnp.clip(alpha, 0.0, 4.0)
+        def grow_body(k, carry):
+            hi, d1_hi = carry
+            hi2 = jnp.where(d1_hi < 0, hi * 2.0, hi)
+            d1_hi2, _ = phi_derivs(hi2)
+            take = d1_hi < 0
+            return (jnp.where(take, hi2, hi),
+                    jnp.where(take, d1_hi2, d1_hi))
+
+        d1_1, _ = phi_derivs(one)
+        hi, d1_hi = jax.lax.fori_loop(0, 10, grow_body, (one, d1_1))
+
+        def ls_body(k, carry):
+            lo, hi, alpha = carry
+            d1, d2 = phi_derivs(alpha)
+            lo = jnp.where(d1 < 0, alpha, lo)
+            hi = jnp.where(d1 > 0, alpha, hi)
+            newton = alpha - d1 / jnp.maximum(d2, _MINVAL)
+            mid = 0.5 * (lo + hi)
+            inside = (newton >= lo) & (newton <= hi)
+            nxt = jnp.where(inside, newton, mid)
+            return lo, hi, jnp.where(d1 == 0, alpha, nxt)
+
+        nls = max(min(m.opt.ls_iterations, 25), 12)
+        _, _, alpha = jax.lax.fori_loop(
+            0, nls, ls_body, (jnp.zeros((), dtype), hi, one))
         x_new = x + alpha * p
         cost_new, _ = total_cost(x_new)
         # guard: reject non-descent steps
@@ -141,16 +265,19 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
 
     jar = efc.J @ x - efc.aref
     _, dcost, _ = _cost_terms(efc, jar, eq, fl, uni)
+    _, dparts, _ = _cone_eval(cone_groups, jar)
+    dcost = _scatter(dcost, dparts)
     efc_force = -dcost
     qfrc_constraint = efc.J.T @ efc_force
 
-    # per-contact force recovery (mj_contactForce for pyramidal cones):
-    # rows are n ± mu_i t_i in order (+t0,-t0,+t1,-t1,...), so
+    # per-contact force recovery (mj_contactForce):
+    # pyramidal — rows are n ± mu_i t_i in order (+t0,-t0,+t1,-t1,...), so
     #   normal  = sum_j f_j
     #   comp_i  = mu_i (f_{2i} - f_{2i+1})   (t1, t2, then torques)
+    # elliptic — rows ARE the contact-frame force components directly
     contact_force = d.contact_force
     contact_force_vec = d.contact_force_vec
-    if efc.contact_spans:
+    if efc.contact_spans or efc.cone_spans:
         contact_force = jnp.zeros_like(d.contact_force)
         contact_force_vec = jnp.zeros_like(d.contact_force_vec)
         for conids, start, nrows in efc.contact_spans:
@@ -165,6 +292,13 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
                 diff = group[:, 0::2] - group[:, 1::2]  # (k, nfd)
                 wrench = wrench.at[:, 1:1 + nfd].set(mu[:, :nfd] * diff)
             contact_force = contact_force.at[ids].set(normal)
+            contact_force_vec = contact_force_vec.at[ids].set(wrench)
+        for conids, start, dim in efc.cone_spans:
+            k = len(conids)
+            ids = jnp.asarray(conids)
+            group = efc_force[start:start + k * dim].reshape(k, dim)
+            wrench = jnp.zeros((k, 6), group.dtype).at[:, :dim].set(group)
+            contact_force = contact_force.at[ids].set(group[:, 0])
             contact_force_vec = contact_force_vec.at[ids].set(wrench)
     return d.replace(
         qacc=x,

@@ -152,7 +152,16 @@ class Task:
 
 
 def apply_model_diff(m: Model, diff: Dict) -> Model:
-    return m.replace(**diff) if diff else m
+    """Applies per-episode Model field overrides.  Keys starting with "_"
+    are task-private per-env state (not Model fields); they are gathered
+    into ``m.task_state`` for task observation/reward functions."""
+    if not diff:
+        return m
+    pub = {k: v for k, v in diff.items() if not k.startswith("_")}
+    priv = {k: v for k, v in diff.items() if k.startswith("_")}
+    if priv:
+        pub["task_state"] = priv
+    return m.replace(**pub) if pub else m
 
 
 class Environment(dm_env.Environment):
