@@ -106,7 +106,7 @@ def compile_task(task, time_limit=10.0, dtype=None,
     if opt is None:
         opt = root.add("option")
     opt.attrib["timestep"] = str(task.physics_timestep)
-    model = compile_model(root)
+    model = compile_model(root, dtype=dtype)
     return BatchEnv(model, _PureTaskAdapter(task),
                     time_limit=time_limit,
                     control_timestep=task.control_timestep,

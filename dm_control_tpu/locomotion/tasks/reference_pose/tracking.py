@@ -16,6 +16,7 @@ from typing import Callable, Dict, Optional, Sequence
 import numpy as np
 
 from dm_control_tpu import composer
+from dm_control_tpu.composer.batch import BatchableTask
 from dm_control_tpu.composer.observation.observable import Generic
 from dm_control_tpu.locomotion.mocap.trajectory import Trajectory
 from dm_control_tpu.locomotion.mocap.types import ClipCollection
@@ -24,7 +25,7 @@ from dm_control_tpu.locomotion.tasks.reference_pose import rewards as rw
 DEFAULT_PHYSICS_TIMESTEP = 0.005
 
 
-class ReferencePosesTask(composer.Task):
+class ReferencePosesTask(composer.Task, BatchableTask):
     """Track reference qpos/qvel trajectories."""
 
     def __init__(self, walker, arena,
@@ -206,6 +207,133 @@ class ReferencePosesTask(composer.Task):
 
     def get_discount(self, physics):
         return 0.0 if self._should_truncate else 1.0
+
+    # -- batched path (composer.batch.BatchableTask) -------------------------
+    #
+    # The clip collection becomes a padded device array bank; per-episode
+    # clip/start selection is per-env data in the model_diff ("_clip",
+    # "_start"), and the mocap cursor is derived from d.time — no host
+    # state, so thousands of tracking envs step under one jit.
+
+    def _clip_bank(self, m):
+        # cached as NUMPY (host constants): jnp arrays created inside a
+        # trace are tracers and must not be cached across traces
+        if getattr(self, "_bank", None) is not None:
+            return self._bank
+        nq, nv = int(m.nq), int(m.nv)
+        ids = list(self._dataset.ids)
+        tmax = max(self._trajectories[i].num_steps for i in ids)
+        qpos = np.zeros((len(ids), tmax, nq))
+        qvel = np.zeros((len(ids), tmax, nv))
+        ends = np.zeros(len(ids), np.int32)
+        start_low = np.asarray(self._dataset.start_steps
+                               or [0] * len(ids), np.int32)
+        for k, cid in enumerate(ids):
+            clip = self._trajectories[cid]
+            for tt in range(clip.num_steps):
+                fr = clip.get_timestep_data(tt)
+                q = np.asarray(fr["qpos"])
+                v = np.asarray(fr.get("qvel", np.zeros(0)))
+                nq_c = min(nq, len(q))
+                qpos[k, tt, :nq_c] = q[:nq_c]
+                if v.size:
+                    nv_c = min(nv, len(v))
+                    qvel[k, tt, :nv_c] = v[:nv_c]
+            qpos[k, clip.num_steps:] = qpos[k, clip.num_steps - 1]
+            ends[k] = (self._dataset.end_steps[k]
+                       if self._dataset.end_steps else clip.num_steps)
+        max_start = np.maximum(
+            start_low, ends - self._min_steps - max(self._ref_steps))
+        weights = np.asarray(self._dataset.weights
+                             or [1.0] * len(ids), float)
+        cum = np.cumsum(weights / weights.sum())
+        self._bank = {
+            "qpos": qpos, "qvel": qvel,
+            "ends": ends, "start_low": start_low,
+            "max_start": max_start.astype(np.int32),
+            "cum": cum, "tmax": tmax,
+        }
+        return self._bank
+
+    def batch_model_diff(self, m):
+        import jax.numpy as jnp
+
+        return {"_clip": jnp.zeros((), jnp.int32),
+                "_start": jnp.zeros((), jnp.int32)}
+
+    def batch_init(self, m, qpos, qvel, rc, diff):
+        import jax.numpy as jnp
+
+        bank = self._clip_bank(m)
+        idx = jnp.clip(jnp.searchsorted(jnp.asarray(bank["cum"]),
+                                        rc.uniform()),
+                       0, len(bank["cum"]) - 1).astype(jnp.int32)
+        lo = jnp.asarray(bank["start_low"])[idx]
+        hi = jnp.asarray(bank["max_start"])[idx]
+        span = jnp.maximum(hi - lo, 0)
+        u = rc.uniform()
+        start = lo + jnp.floor(u * span).astype(jnp.int32)
+        if self._always_init_at_clip_start:
+            start = lo
+        qpos = jnp.asarray(bank["qpos"], qpos.dtype)[idx, start]
+        qvel = jnp.asarray(bank["qvel"], qvel.dtype)[idx, start]
+        return qpos, qvel, dict(diff, _clip=idx, _start=start)
+
+    def _batch_tstep(self, m, d):
+        import jax.numpy as jnp
+
+        st = m.task_state
+        k = jnp.round(d.time / self.control_timestep).astype(jnp.int32)
+        return st["_start"] + k
+
+    def _batch_error(self, m, d):
+        import jax.numpy as jnp
+
+        bank = self._clip_bank(m)
+        ts = jnp.clip(self._batch_tstep(m, d), 0, bank["tmax"] - 1)
+        ref_q = jnp.asarray(bank["qpos"],
+                            d.qpos.dtype)[m.task_state["_clip"], ts]
+        joint_err = jnp.mean(jnp.abs(d.qpos[7:] - ref_q[7:]))
+        com_err = jnp.linalg.norm(d.qpos[:3] - ref_q[:3])
+        return 0.5 * joint_err + 0.5 * com_err
+
+    def batch_observation(self, m, d):
+        import jax.numpy as jnp
+
+        bank = self._clip_bank(m)
+        obs = collections.OrderedDict()
+        obs["walker/joints_pos"] = d.qpos[7:]
+        obs["walker/joints_vel"] = d.qvel[6:]
+        obs["walker/root_quat"] = d.qpos[3:7]
+        obs["walker/root_velocity"] = d.qvel[:6]
+        ts = self._batch_tstep(m, d)
+        qbank = jnp.asarray(bank["qpos"], d.qpos.dtype)
+        rels = []
+        for k in self._ref_steps:
+            tk = jnp.clip(ts + k, 0, bank["tmax"] - 1)
+            ref_q = qbank[m.task_state["_clip"], tk]
+            rels.append(ref_q[7:] - d.qpos[7:])
+        obs["reference_rel_joints"] = jnp.concatenate(rels)
+        return obs
+
+    def batch_reward(self, m, d):
+        import jax.numpy as jnp
+
+        err = self._batch_error(m, d)
+        return jnp.asarray(1.0 - err / self._termination_error_threshold,
+                           d.qpos.dtype)
+
+    def batch_termination(self, m, d):
+        import jax.numpy as jnp
+
+        bank = self._clip_bank(m)
+        err = self._batch_error(m, d)
+        truncate = err > self._termination_error_threshold
+        end = self._batch_tstep(m, d) >= jnp.asarray(bank["ends"])[
+            m.task_state["_clip"]] - 1
+        discount = jnp.where(truncate, jnp.zeros((), d.qpos.dtype),
+                             jnp.ones((), d.qpos.dtype))
+        return truncate | end, discount
 
 
 class MultiClipMocapTracking(ReferencePosesTask):

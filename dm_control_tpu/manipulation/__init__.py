@@ -36,3 +36,18 @@ def load(environment_name, seed=None):
 def get_environments_by_tag(tag):
     """Names of environments carrying ``tag`` (reference __init__.py:56)."""
     return tuple(_registry.get_names_by_tag(tag))
+
+
+def load_batch(environment_name, time_limit=10.0, dtype=None,
+               autoreset=True):
+    """Builds the named task on the batched TPU path: a
+    ``rl.batch_env.BatchEnv`` stepping thousands of envs under one jit
+    (no reference analogue — SubprocVecEnv at scripts/vec_env.py:396 is
+    the process-per-env equivalent).  The task must implement the
+    ``composer.batch.BatchableTask`` protocol."""
+    from dm_control_tpu.composer.batch import compile_task
+
+    factory = _registry.get(environment_name)
+    env = factory()
+    return compile_task(env.task, time_limit=time_limit, dtype=dtype,
+                        autoreset=autoreset)

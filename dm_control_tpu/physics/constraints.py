@@ -421,10 +421,16 @@ def _contact_rows(m: Model, d: Data, blocks: _Blocks):
     spans = []
     cone_spans = []
     row_base = len(blocks.kinds)
+
     for condim in sorted(set(con.dim)):
         idx = np.nonzero(dims == condim)[0]
         k = idx.size
-        gidx = jnp.asarray(idx)
+        # When one condim group covers every contact (the common case)
+        # skip the per-group gathers entirely: smaller graphs, and it
+        # dodges a gather-fusion XLA:CPU miscompile observed on
+        # humanoid_CMU (wrong pos gathered inside large fused programs).
+        whole = k == ncon and bool(np.array_equal(idx, np.arange(ncon)))
+        gidx = slice(None) if whole else jnp.asarray(idx)
         if condim == 1:
             J = jn[gidx]
             nrows = 1
@@ -441,11 +447,16 @@ def _contact_rows(m: Model, d: Data, blocks: _Blocks):
             nrows = condim
             kk, b, imp = kbi(m, con.solref[gidx], con.solimp[gidx],
                              pos_eff[gidx])
-            r0 = jnp.maximum(_MINVAL, (1.0 - imp) / imp * inv[gidx])
+            # m.opt constants may be f64 while the data pipeline is f32
+            kk = jnp.asarray(kk, dtype)
+            b = jnp.asarray(b, dtype)
+            imp = jnp.asarray(imp, dtype)
+            r0 = jnp.maximum(_MINVAL, (1.0 - imp) / imp
+                             * jnp.asarray(inv[gidx], dtype))
             active = pos_eff[gidx] < 0
-            d0 = jnp.where(active, 1.0 / r0, 0.0)
-            fri = con.friction[gidx, :condim - 1]  # (k, condim-1)
-            dj = (d0[:, None] * m.opt.impratio
+            d0 = jnp.where(active, 1.0 / r0, jnp.zeros((), dtype))
+            fri = jnp.asarray(con.friction[gidx, :condim - 1], dtype)
+            dj = (d0[:, None] * jnp.asarray(m.opt.impratio, dtype)
                   * (fri / fri[:, :1]) ** 2)  # (k, condim-1)
             Jg = jnp.stack([jn[gidx]] + [jt[i][gidx]
                                          for i in range(condim - 1)],

@@ -68,13 +68,14 @@ def _cost_terms(efc: Efc, jar, eq, fl, uni):
 
 def _cone_groups(efc: Efc, d: Data, impratio):
     """Precomputes static per-group arrays for the elliptic-cone spans."""
+    dtype = efc.D.dtype
     groups = []
     for conids, start, dim in efc.cone_spans:
         k = len(conids)
         ids = jnp.asarray(conids)
         sl = (start, k, dim)
-        fri = d.contact.friction[ids, :dim - 1]  # (k, dim-1)
-        mu = fri[:, 0] / jnp.sqrt(impratio)
+        fri = jnp.asarray(d.contact.friction[ids, :dim - 1], dtype)
+        mu = fri[:, 0] / jnp.sqrt(jnp.asarray(impratio, dtype))
         Dg = jax.lax.dynamic_slice_in_dim(
             efc.D, start, k * dim).reshape(k, dim)
         groups.append((sl, fri, mu, Dg))
@@ -158,7 +159,10 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
         cost, _, _ = _cost_terms(efc, jar, eq, fl, uni)
         ccost, _, _ = _cone_eval(cone_groups, jar)
         dx = x - a_s
-        return 0.5 * dx @ (M @ dx) + jnp.sum(cost) + ccost, jar
+        # cast: with a wider-dtype model the row math promotes, but the
+        # loop carries must stay in the data dtype
+        return jnp.asarray(0.5 * dx @ (M @ dx) + jnp.sum(cost) + ccost,
+                           dtype), jar
 
     # warm start: pick the better of qacc_smooth and the previous qacc
     warmstart_ok = not (m.opt.disableflags & DisableBit.WARMSTART)
@@ -187,7 +191,7 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
         ccost, dparts, hblocks = _cone_eval(cone_groups, jar,
                                             need_hess=True)
         dcost = _scatter(dcost, dparts)
-        grad = M @ (x - a_s) + efc.J.T @ dcost
+        grad = jnp.asarray(M @ (x - a_s) + efc.J.T @ dcost, dtype)
         H = M + (efc.J.T * hw) @ efc.J
         for ((start, k, dim), *_), hc in zip(cone_groups, hblocks):
             Jg = jax.lax.dynamic_slice_in_dim(
@@ -195,7 +199,8 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
             H = H + jnp.einsum("kiv,kij,kjw->vw", Jg, hc, Jg)
         L = jnp.linalg.cholesky(H)
         y = jax.scipy.linalg.solve_triangular(L, grad, lower=True)
-        p = -jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        p = -jnp.asarray(
+            jax.scipy.linalg.solve_triangular(L.T, y, lower=False), dtype)
 
         # exact line search on the piecewise-smooth φ(α)
         jp = efc.J @ p
@@ -215,7 +220,7 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
                 jp_g = jax.lax.dynamic_slice_in_dim(
                     jp, start, k * dim).reshape(k, dim)
                 d2 = d2 + jnp.einsum("ki,kij,kj->", jp_g, hc, jp_g)
-            return d1, d2
+            return jnp.asarray(d1, dtype), jnp.asarray(d2, dtype)
 
         # Safeguarded exact line search: φ is convex and piecewise smooth
         # (zone switches in cone/limit rows make plain 1D Newton cycle and
