@@ -10,3 +10,7 @@ reductions riding ICI collectives inserted by XLA.
 from dm_control_tpu.parallel.mesh import (  # noqa: F401
     env_sharding, make_mesh, replicated, shard_batch,
 )
+from dm_control_tpu.parallel.runtime import (  # noqa: F401
+    assert_partitioned, env_batch_sharding, initialize,
+    make_global_env_batch, pod_mesh,
+)
