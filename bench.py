@@ -59,6 +59,33 @@ def bench_env(domain, task, batch, n_steps, dtype=jnp.float32):
     return control_steps / dt, physics_steps / dt
 
 
+def bench_manipulation(name, batch, n_steps, dtype=jnp.float32):
+    import dm_control_tpu.manipulation as manipulation
+
+    env = manipulation.load_batch(name, dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    state, ts = env.reset(jax.random.split(key, batch))
+    acts = jnp.zeros((batch, env.model.nu), dtype)
+
+    def run(state, n):
+        def body(s, _):
+            s, _ts = env.step(s, acts)
+            return s, None
+
+        state, _ = jax.lax.scan(body, state, None, length=n)
+        return state
+
+    run_j = jax.jit(run, static_argnums=1)
+    state = run_j(state, n_steps)
+    _ = float(state.data.qpos[0, 0])
+    t0 = time.perf_counter()
+    state = run_j(state, n_steps)
+    _ = float(state.data.qpos[0, 0])
+    dt = time.perf_counter() - t0
+    control_steps = batch * n_steps
+    return control_steps / dt, control_steps * env.n_sub_steps / dt
+
+
 def main():
     results = {}
     try:
@@ -88,6 +115,13 @@ def main():
         results["quadruped_env_steps_per_s"] = round(quad_env)
     except Exception as e:  # pragma: no cover
         results["quadruped_error"] = repr(e)[:120]
+    try:
+        # ladder-4: composer manipulation task on the batched path
+        # (composer.batch.compile_task lowering)
+        man_env, _ = bench_manipulation("reach_site_features", 1024, 32)
+        results["manipulation_reach_env_steps_per_s"] = round(man_env)
+    except Exception as e:  # pragma: no cover
+        results["manipulation_error"] = repr(e)[:120]
 
     value = round(cart_env)
     print(json.dumps({

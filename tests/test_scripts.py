@@ -1,6 +1,5 @@
 """Training-stack tests (reference: dm_control/scripts/ + solver_test.py)."""
 
-import os
 
 import numpy as np
 import pytest
@@ -223,8 +222,7 @@ def test_parse_amc_against_oracle(tmp_path):
     assert np.allclose(conv.time, ref_conv.time)
 
 
-@pytest.mark.skipif(not os.environ.get("RUN_SLOW_TESTS"),
-                    reason="slow: CEM solver optimization")
+@pytest.mark.slow
 def test_cem_solver_beats_random():
     from dm_control_tpu import suite
     from dm_control_tpu.scripts.solver import CEMSolver

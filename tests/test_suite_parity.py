@@ -12,17 +12,42 @@ ref_suite = pytest.importorskip("dm_control.suite")
 
 import dm_control_tpu.suite as tpu_suite
 
-# (domain, task, steps, obs_tol): contact-rich domains accumulate fp chaos.
+# (domain, task, steps, obs_tol): per-domain horizons/tolerances are set
+# from measured seeded-episode agreement vs the installed dm_control
+# (chaotic contact-rich systems amplify fp roundoff; the values below all
+# hold with >10x headroom).  17 of 19 domains; dog and humanoid_CMU are
+# covered by tests/test_suite_contract.py only (their parity gap is
+# tracked in PROGRESS — dog diverges after ~9 steps, humanoid_CMU's
+# first step is sensitive to an XLA:CPU compile anomaly).
 EXACT = [
     ("pendulum", "swingup", 50, 1e-10),
     ("cartpole", "swingup", 50, 1e-10),
     ("cartpole", "balance_sparse", 50, 1e-10),
+    ("cartpole", "three_poles", 40, 1e-10),
     ("acrobot", "swingup", 50, 1e-10),
+    ("acrobot", "swingup_sparse", 40, 1e-10),
     ("point_mass", "easy", 50, 1e-10),
+    ("point_mass", "hard", 40, 1e-10),
     ("reacher", "easy", 50, 1e-10),
     ("reacher", "hard", 50, 1e-10),
     ("ball_in_cup", "catch", 50, 1e-10),
     ("hopper", "stand", 30, 1e-6),
+    ("hopper", "hop", 40, 1e-8),
+    ("walker", "walk", 40, 1e-8),
+    ("walker", "run", 40, 1e-8),
+    ("cheetah", "run", 40, 1e-8),
+    ("swimmer", "swimmer6", 40, 1e-10),
+    ("swimmer", "swimmer15", 40, 1e-8),
+    ("fish", "swim", 40, 1e-10),
+    ("finger", "spin", 40, 1e-10),
+    ("finger", "turn_easy", 40, 1e-10),
+    ("humanoid", "walk", 40, 1e-8),
+    ("humanoid", "run_pure_state", 40, 1e-8),
+    ("quadruped", "walk", 40, 1e-8),
+    ("quadruped", "run", 40, 1e-8),
+    ("lqr", "lqr_2_1", 40, 1e-10),
+    ("manipulator", "bring_ball", 20, 1e-8),
+    ("stacker", "stack_2", 25, 1e-8),
 ]
 
 
