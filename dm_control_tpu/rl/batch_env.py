@@ -81,7 +81,22 @@ class BatchEnv:
         self._fast_step1 = None
         diff_keys = set(task.initial_model_diff(model))
         if diff_keys <= _fastpath.DIFF_SAFE_FIELDS:
-            self._fast_step1 = _fastpath.build_step(model)
+            raw = _fastpath.build_step(model)
+            if raw is not None:
+                # the fused step computes with f64 model constants; under
+                # enable_x64 that promotes, so cast back to the carry dtype
+                def _cast_step(qp, qv, w, ctrl, _raw=raw):
+                    out = _raw(qp, qv, w, ctrl)
+                    return tuple(jnp.asarray(x, qp.dtype) for x in out)
+
+                _cast_step.fk_observe_ok = raw.fk_observe_ok
+                if hasattr(raw, "fk_fields"):
+                    def _cast_fk(qp, diff, _raw=raw):
+                        return {k: jnp.asarray(v, qp.dtype)
+                                for k, v in _raw.fk_fields(qp, diff).items()}
+
+                    _cast_step.fk_fields = _cast_fk
+                self._fast_step1 = _cast_step
 
         self.reset = jax.jit(jax.vmap(self._reset_one))
         self.step = jax.jit(self._step_batched)

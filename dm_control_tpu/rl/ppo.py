@@ -18,7 +18,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Callable, NamedTuple, Sequence, Tuple
+import os
+from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -290,3 +291,79 @@ def init_train_state(env: BatchEnv, config: PPOConfig, rng, batch_size: int,
     opt_state = optimizer.init(params)
     return TrainState(params=params, opt_state=opt_state,
                       env_state=env_state, last_obs=obs, rng=rng)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing + training loop with scalar logging (reference
+# scripts/rl/ppo/ppo.py:119-160 TensorBoard scalars; trainer.py:56-60
+# torch.save checkpoints).
+# ---------------------------------------------------------------------------
+
+
+def save_train_state(path: str, state: TrainState) -> None:
+    """Serializes the full jitted-PPO TrainState (params, optimizer,
+    env state, rng) so training resumes exactly.  Saved as the flat leaf
+    list (custom pytree nodes like EnvState aren't msgpack-serializable
+    directly); the treedef comes from the restore-side template."""
+    from flax import serialization
+
+    leaves = jax.tree.leaves(state)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(leaves))
+
+
+def restore_train_state(path: str, template: TrainState) -> TrainState:
+    """Restores a TrainState saved by ``save_train_state``; ``template``
+    provides the pytree structure/shapes (e.g. a fresh init_train_state)."""
+    from flax import serialization
+
+    leaves_t, treedef = jax.tree.flatten(template)
+    with open(path, "rb") as f:
+        leaves = serialization.from_bytes(leaves_t, f.read())
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def train(env: BatchEnv, config: PPOConfig, *, batch_size: int,
+          total_steps: int, rng=None, logdir: Optional[str] = None,
+          checkpoint_path: Optional[str] = None,
+          checkpoint_every: int = 10, log_every: int = 1,
+          resume: bool = False):
+    """Runs jitted PPO until ``total_steps`` env steps, logging scalar
+    metrics (incl. env-steps/s) and periodically checkpointing.
+
+    Returns (final TrainState, list of metric dicts)."""
+    import time as _time
+
+    from dm_control_tpu.utils.metrics import MetricsWriter
+
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    train_step, optimizer = make_train_step(env, config)
+    state = init_train_state(env, config, rng, batch_size, optimizer)
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        state = restore_train_state(checkpoint_path, state)
+    step_fn = jax.jit(train_step)
+
+    writer = MetricsWriter(logdir) if logdir else None
+    history = []
+    env_steps = 0
+    it = 0
+    while env_steps < total_steps:
+        t0 = _time.perf_counter()
+        state, metrics = step_fn(state)
+        jax.block_until_ready(metrics["pi_loss"])
+        dt = _time.perf_counter() - t0
+        it += 1
+        env_steps += int(metrics["env_steps"])
+        scalars = {k: float(v) for k, v in metrics.items()}
+        scalars["fps"] = int(metrics["env_steps"]) / dt
+        scalars["total_env_steps"] = env_steps
+        history.append(scalars)
+        if writer and it % log_every == 0:
+            writer.write(env_steps, scalars, group="train")
+        if checkpoint_path and it % checkpoint_every == 0:
+            save_train_state(checkpoint_path, state)
+    if checkpoint_path:
+        save_train_state(checkpoint_path, state)
+    if writer:
+        writer.close()
+    return state, history

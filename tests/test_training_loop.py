@@ -1,0 +1,56 @@
+"""Training observability + checkpoint/resume (VERDICT r1 item 9).
+
+Reference analogues: TensorBoard scalars at scripts/rl/ppo/ppo.py:119-160
+(here: MetricsWriter jsonl incl. fps) and torch.save checkpoints at
+scripts/trainer.py:56-60 (here: full TrainState serialization so jitted
+PPO resumes exactly).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _env():
+    import dm_control_tpu.suite as suite
+
+    return suite.load_batch("pendulum", "swingup", dtype=jnp.float32)
+
+
+def test_train_logs_metrics_and_checkpoints(tmp_path):
+    from dm_control_tpu.rl import ppo
+    from dm_control_tpu.utils.metrics import read_metrics
+
+    env = _env()
+    cfg = ppo.PPOConfig(steps_per_batch=4, update_epochs=1,
+                        num_minibatches=1)
+    ck = str(tmp_path / "state.msgpack")
+    state, history = ppo.train(
+        env, cfg, batch_size=4, total_steps=32,
+        logdir=str(tmp_path), checkpoint_path=ck, checkpoint_every=1)
+    assert len(history) == 2  # 4 envs * 4 steps = 16 env steps per iter
+    rows = read_metrics(str(tmp_path / "metrics.jsonl"))
+    assert len(rows) == 2
+    assert "train/fps" in rows[0] and rows[0]["train/fps"] > 0
+    assert "train/pi_loss" in rows[0]
+
+    # resume restores the exact TrainState
+    train_step, opt = ppo.make_train_step(env, cfg)
+    template = ppo.init_train_state(env, cfg, jax.random.PRNGKey(9), 4,
+                                    opt)
+    restored = ppo.restore_train_state(ck, template)
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(restored.env_state.data.qpos),
+                                  np.asarray(state.env_state.data.qpos))
+    np.testing.assert_array_equal(np.asarray(restored.rng),
+                                  np.asarray(state.rng))
+
+    # continuing from the restored state is identical to continuing from
+    # the original (bitwise resume)
+    step_fn = jax.jit(train_step)
+    s1, m1 = step_fn(state)
+    s2, m2 = step_fn(restored)
+    np.testing.assert_array_equal(np.asarray(m1["pi_loss"]),
+                                  np.asarray(m2["pi_loss"]))
