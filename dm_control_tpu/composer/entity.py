@@ -143,6 +143,21 @@ class Entity(abc.ABC):
         child_root = copy.deepcopy(entity.mjcf_model)
         _prefix_tree(child_root, prefix)
 
+        # namescope collision detection (reference namescope.py semantics):
+        # prefixed child identifiers must not collide with names already in
+        # this model's tree
+        own_names = {(e.tag, e.attrib["name"])
+                     for e in self._mjcf_root.iter()
+                     if e.attrib.get("name") is not None}
+        clashes = [(e.tag, e.attrib["name"]) for e in child_root.iter()
+                   if e.attrib.get("name") is not None
+                   and (e.tag, e.attrib["name"]) in own_names]
+        if clashes:
+            raise ValueError(
+                f"Attaching {entity.name!r} would duplicate names: "
+                f"{clashes[:5]} (attach each entity instance under a "
+                f"unique name)")
+
         parent_elem = attach_site or self._mjcf_root.first("worldbody")
         if parent_elem is None:
             parent_elem = self._mjcf_root.add("worldbody")

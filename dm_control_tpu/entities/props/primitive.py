@@ -40,8 +40,8 @@ class Primitive(composer.Entity):
         return obs
 
     def position(self, physics):
-        return np.asarray(physics.named_field(
-            "xpos", self.attachment_frame.get("name")))
+        # reads through the PyMJCF binding layer (lazy-forward protocol)
+        return np.asarray(physics.bind(self.attachment_frame).xpos)
 
 
 class Brick(Primitive):

@@ -51,6 +51,28 @@ class Physics:
         self._model = model
         self._data = data if data is not None else make_data(model)
         self._fns = {}
+        self._dirty = False
+
+    # -- dirty/lazy-forward protocol (reference mjcf/physics.py:536-545) ----
+
+    @property
+    def is_dirty(self) -> bool:
+        return self._dirty
+
+    def mark_as_dirty(self) -> None:
+        """State or model was written: derived quantities are stale until
+        the next forward()."""
+        self._dirty = True
+
+    def _ensure_clean(self) -> None:
+        if self._dirty:
+            self.forward()
+
+    def _invalidate_fns(self) -> None:
+        """Model arrays changed identity: drop jit handles keyed on the
+        old model object (recompile is avoided by XLA's shape-keyed cache
+        when only values changed)."""
+        self._fns = {}
 
     # -- constructors -------------------------------------------------------
 
@@ -96,6 +118,7 @@ class Physics:
     def forward(self):
         fwd = self._fn("forward", lambda m: (lambda d: engine.forward(m, d)))
         self._data = fwd(self._data)
+        self._dirty = False
 
     def after_reset(self):
         """Runs the position/velocity stages (the reference's mj_forward
@@ -150,6 +173,7 @@ class Physics:
         self._data = self._data.replace(
             qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel),
             act=jnp.asarray(act))
+        self.mark_as_dirty()
 
     def set_control(self, action):
         self._data = self._data.replace(
@@ -232,10 +256,20 @@ class Physics:
         if quaternion is not None:
             qpos = qpos.at[qadr + 3:qadr + 7].set(jnp.asarray(quaternion))
         self._data = self._data.replace(qpos=qpos)
+        self.mark_as_dirty()
 
-    def bind(self, element_or_name, kind: str = "body"):
-        """Minimal PyMJCF-bind analogue: returns the id of a named element
-        for array indexing (dm_control/mjcf/physics.py:560)."""
+    def bind(self, elements):
+        """Returns a read/write attribute Binding for MJCF element(s)
+        (reference mjcf/physics.py:560): ``physics.bind(geom).xpos``,
+        ``physics.bind(joint).qpos = ...`` with the dirty/lazy-forward
+        protocol.  Accepts Elements or (namespace-qualified) name strings
+        (treated as bodies)."""
+        from dm_control_tpu.mjcf.physics import bind as _bind
+
+        return _bind(self, elements)
+
+    def bind_id(self, element_or_name, kind: str = "body"):
+        """The raw id of a named element for array indexing."""
         name = element_or_name if isinstance(element_or_name, str) \
             else element_or_name.get("name")
         return getattr(self._model.names, kind)[name]
