@@ -106,6 +106,12 @@ def kinematics(m: Model, d: Data) -> Data:
                                         else mx.rotate(jaxn, qsel))
         xpos = xpos.at[bidx].set(pos)
         xquat = xquat.at[bidx].set(quat)
+        # materialize the level's frames: in large fused programs
+        # (humanoid_CMU, dog) XLA:CPU has been observed to miscompile the
+        # cross-level gather/scatter chains (xpos off by 1e-2 from
+        # identical qpos, deterministic per compile, eager always correct);
+        # the barrier pins each level boundary and costs only a buffer
+        xpos, xquat = jax.lax.optimization_barrier((xpos, xquat))
     xmat = mx.quat_to_mat(xquat)
 
     xipos = xpos + jnp.einsum("bij,bj->bi", xmat, m.body_ipos)
