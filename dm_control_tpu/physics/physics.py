@@ -197,6 +197,14 @@ class Physics:
 
     # -- named access -------------------------------------------------------
 
+    @property
+    def named(self):
+        """``physics.named.data.qpos['hinge']``-style FieldIndexer views
+        incl. ragged axes and named columns (reference mujoco/index.py)."""
+        from dm_control_tpu.physics.index import Named
+
+        return Named(self)
+
     def named_field(self, kind: str, names):
         """Named view into a Data/Model field (the analogue of
         physics.named.data.<field>[names], dm_control/mujoco/index.py:436).
