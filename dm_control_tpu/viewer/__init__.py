@@ -1,17 +1,20 @@
-"""Interactive viewer API (reference: dm_control/viewer/ — GLFW
-application with `launch(environment_loader, policy)` at
-viewer/__init__.py:30 and runtime state machine runtime.py:75).
+"""Interactive viewer (reference: dm_control/viewer/).
 
-Rendering is off-path in this framework (BASELINE.md north star: optional
-debug raster).  This module preserves the `viewer.launch` entry point:
-with no GUI backend it runs the environment/policy loop headlessly and
-reports episode statistics, so `visualize.py`-style scripts work
-unchanged; a GUI backend can be plugged in via `register_backend`.
+``launch(environment_loader, policy)`` drives the reference's
+Runtime state machine (START→RUNNING→STOP→STOPPED with restart/pause/
+single-step, runtime.py:75) through a headless Application whose frames
+come from the ray-cast renderer — GL is off-path in this framework
+(BASELINE.md).  A GUI backend can still be registered to take over the
+whole loop.
 """
 
 from __future__ import annotations
 
-import numpy as np
+from dm_control_tpu.viewer.application import Application  # noqa: F401
+from dm_control_tpu.viewer.runtime import Runtime, State  # noqa: F401
+from dm_control_tpu.viewer.util import (  # noqa: F401
+    Integrator, TimeMultiplier,
+)
 
 _BACKEND = None
 
@@ -23,29 +26,12 @@ def register_backend(fn):
 
 
 def launch(environment_loader, policy=None, title="Explorer",
-           width=1024, height=768, max_episodes=1):
-    """Runs the env/policy loop (reference viewer/__init__.py:30 launch).
-
-    Headless fallback: steps episodes with the policy (or zero actions)
-    and prints returns — the observable behavior of the viewer's runtime
-    without the GL window."""
-    del title, width, height
+           width=1024, height=768, max_episodes=1, max_seconds=None):
+    """Launches the viewer loop (reference viewer/__init__.py:22)."""
     env = (environment_loader() if callable(environment_loader)
            else environment_loader)
     if _BACKEND is not None:
         return _BACKEND(env, policy)
-    for ep in range(max_episodes):
-        ts = env.reset()
-        total, steps = 0.0, 0
-        spec = env.action_spec()
-        while not ts.last():
-            if policy is not None:
-                action = policy(ts)
-            else:
-                action = np.zeros(spec.shape)
-            ts = env.step(action)
-            total += float(ts.reward or 0.0)
-            steps += 1
-        print(f"[viewer headless] episode {ep}: {steps} steps, "
-              f"return {total:.3f}")
-    return None
+    app = Application(title=title, width=width, height=height)
+    return app.launch(env, policy=policy, max_episodes=max_episodes,
+                      max_seconds=max_seconds)
