@@ -13,6 +13,15 @@ compiler with:
 from dm_control_tpu.mjcf.element import Element  # noqa: F401
 from dm_control_tpu.mjcf.parser import from_path, from_xml_string  # noqa: F401
 from dm_control_tpu.mjcf.compiler import compile_model  # noqa: F401
+from dm_control_tpu.mjcf.copier import copy_element  # noqa: F401
+from dm_control_tpu.mjcf.export_with_assets import (  # noqa: F401
+    export_with_assets, export_with_assets_as_zip,
+)
+from dm_control_tpu.mjcf.physics import Binding, bind  # noqa: F401
+from dm_control_tpu.mjcf.schema import (  # noqa: F401
+    MJCFSchemaError, validate,
+)
+from dm_control_tpu.mjcf.traversal_utils import commit_defaults  # noqa: F401
 
 
 def compile_xml_string(xml: str, assets=None, dtype=None):

@@ -1395,16 +1395,22 @@ def _geom_volume_inertia(gtype: GeomType, size):
     return 0.0, np.zeros(3)
 
 
-def compile_model(root: Element, dtype=None) -> Model:
+def compile_model(root: Element, dtype=None, validate: bool = True) -> Model:
     """Compiles an MJCF element tree into a Model pytree.
 
     The returned model still needs derived constants (dof_invweight0,
     meaninertia); ``physics.engine.set_const`` computes them and is invoked
-    here if the engine is importable.
+    here if the engine is importable.  ``validate=False`` skips the MJCF
+    schema check (mjcf/schema.py).
     """
     import contextlib
 
     import jax
+
+    if validate:
+        from dm_control_tpu.mjcf import schema
+
+        schema.validate_or_raise(root)
 
     dtype = dtype or jnp.zeros(0).dtype  # honors jax_enable_x64
     # Model compilation is host-side work: pin it to CPU so eager ops don't

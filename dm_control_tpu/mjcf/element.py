@@ -14,7 +14,9 @@ from typing import Dict, Iterator, List, Optional
 class Element:
     """An MJCF element: tag, attributes, ordered children."""
 
-    __slots__ = ("tag", "attrib", "children", "parent")
+    # ``payload``: optional in-memory asset bytes for file-referencing
+    # elements (mesh/hfield/texture), used by export_with_assets
+    __slots__ = ("tag", "attrib", "children", "parent", "payload")
 
     def __init__(self, tag: str, attrib: Optional[Dict[str, object]] = None,
                  parent: Optional["Element"] = None):
@@ -22,6 +24,10 @@ class Element:
         self.attrib: Dict[str, object] = dict(attrib or {})
         self.children: List[Element] = []
         self.parent = parent
+        from dm_control_tpu.mjcf import debugging
+
+        if debugging.debug_mode_enabled():
+            debugging.record_origin(self)
 
     # -- construction -------------------------------------------------------
 

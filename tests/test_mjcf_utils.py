@@ -1,0 +1,88 @@
+"""mjcf utility layer: export_with_assets, copier, commit_defaults,
+debugging (reference export_with_assets.py, copier.py,
+traversal_utils.py:81, debugging.py)."""
+
+import os
+import zipfile
+
+import numpy as np
+
+import dm_control_tpu.mjcf as mjcf
+
+
+def _model():
+    root = mjcf.Element("mujoco", {"model": "demo"})
+    root.add("option", timestep="0.002")
+    d = root.add("default")
+    dc = d.add("default", **{"class": "thick"})
+    dc.add("geom", size="0.2")
+    d.add("geom", friction="0.9 0.01 0.001")
+    wb = root.add("worldbody")
+    b = wb.add("body", name="ball", pos="0 0 1")
+    b.add("freejoint")
+    b.add("geom", name="ball_geom", type="sphere", **{"class": "thick"})
+    return root
+
+
+def test_export_with_assets_roundtrip(tmp_path):
+    root = _model()
+    path = mjcf.export_with_assets(root, str(tmp_path))
+    assert os.path.basename(path) == "demo.xml"
+    reparsed = mjcf.from_path(path)
+    assert reparsed.find("geom", "ball_geom") is not None
+    # compiles standalone (the exported file is self-contained)
+    m = mjcf.compile_model(reparsed)
+    assert m.nq == 7
+
+
+def test_export_with_assets_writes_payloads(tmp_path):
+    root = _model()
+    asset = root.add("asset")
+    h = asset.add("hfield", name="terrain", nrow="4", ncol="4",
+                  size="1 1 0.1 0.01", file="terrain.bin")
+    h.payload = b"\x00" * 16
+    mjcf.export_with_assets(root, str(tmp_path))
+    assert (tmp_path / "terrain.bin").read_bytes() == b"\x00" * 16
+
+
+def test_export_as_zip(tmp_path):
+    zp = mjcf.export_with_assets_as_zip(_model(), str(tmp_path))
+    with zipfile.ZipFile(zp) as zf:
+        assert "demo/demo.xml" in zf.namelist()
+
+
+def test_commit_defaults_resolves_class_chain():
+    root = _model()
+    g = root.find("geom", "ball_geom")
+    mjcf.commit_defaults(g)
+    assert g.get("size") == "0.2"  # from class 'thick'
+    assert g.get("friction") == "0.9 0.01 0.001"  # from anonymous default
+
+
+def test_copier_strips_class_dependence():
+    src = _model()
+    dst = mjcf.Element("mujoco")
+    dwb = dst.add("worldbody")
+    g = src.find("geom", "ball_geom")
+    clone = mjcf.copy_element(g, dwb)
+    assert clone.get("size") == "0.2"
+    assert clone.get("class") is None
+    assert clone.parent is dwb
+    # source unchanged
+    assert g.get("size") is None
+
+
+def test_debugging_records_origins(tmp_path):
+    from dm_control_tpu.mjcf import debugging
+
+    debugging.enable_debug_mode(True)
+    try:
+        root = mjcf.Element("mujoco")
+        wb = root.add("worldbody")
+        assert debugging.origin_of(wb) is not None
+        assert "test_mjcf_utils.py" in debugging.origin_of(wb)
+        out = debugging.dump_model(root, str(tmp_path / "dump.xml"))
+        text = open(out).read()
+        assert "created at" in text
+    finally:
+        debugging.enable_debug_mode(False)
