@@ -61,6 +61,13 @@ class SoccerBall(composer.Entity):
     def initialize_episode(self, physics, random_state):
         self.initialize_entity_trackers()
 
+    def clear_step_flags(self):
+        """Per-control-step flags reset; last_hit persists (reference
+        soccer_ball.py after_substep semantics)."""
+        self._hit = False
+        self._repossessed = False
+        self._intercepted = False
+
     def update_hit(self, player, teammate: bool):
         self._hit = True
         if self._last_hit is not player:

@@ -42,30 +42,99 @@ class Task(composer.Task):
             self._add_player_observables(i, player)
         self.set_timesteps(control_timestep, physics_timestep)
 
+    def _root_linvel(self, physics, entity):
+        """World-frame linear velocity of a free entity's root joint."""
+        prefix = entity.name
+        for jname, j in physics.model.names.joint.items():
+            if jname.startswith(prefix) and jname.endswith("_root"):
+                a = int(physics.model.jnt_dofadr[j])
+                return np.asarray(physics.data.qvel[a:a + 3])
+        return np.zeros(3)
+
     def _add_player_observables(self, i, player):
+        """Per-player egocentric observable suite (reference
+        soccer/observables.py CoreObservablesAdder): ball position /
+        velocity / angular velocity, both goals, every other player's
+        position and velocity, and game statistics."""
         ball = self._ball
         walker = player.walker
         others = [p for p in self._players if p is not player]
+        obs = {}
 
-        def ball_ego(physics, walker=walker):
-            bp = ball.position(physics)
-            return walker.transform_vec_to_egocentric_frame(
-                physics, bp - walker.root_xpos(physics))
+        def ego(physics, vec):
+            return walker.transform_vec_to_egocentric_frame(physics, vec)
 
-        def others_ego(physics, walker=walker, others=tuple(others)):
+        def ball_ego(physics):
+            return ego(physics,
+                       ball.position(physics) - walker.root_xpos(physics))
+
+        def ball_ego_vel(physics):
+            return ego(physics, self._root_linvel(physics, ball)
+                       - self._root_linvel(physics, walker))
+
+        def goal_ego(physics, team):
+            goal = (self._arena.home_goal if team == "home"
+                    else self._arena.away_goal)
+            mid = (np.asarray(goal.lower) + np.asarray(goal.upper)) / 2
+            return ego(physics, mid - walker.root_xpos(physics))
+
+        def others_ego(physics):
             root = walker.root_xpos(physics)
-            out = [walker.transform_vec_to_egocentric_frame(
-                physics, o.walker.root_xpos(physics) - root)
-                for o in others]
+            out = [ego(physics, o.walker.root_xpos(physics) - root)
+                   for o in others]
             return np.hstack(out) if out else np.zeros(0)
 
+        def others_ego_vel(physics):
+            mine = self._root_linvel(physics, walker)
+            out = [ego(physics,
+                       self._root_linvel(physics, o.walker) - mine)
+                   for o in others]
+            return np.hstack(out) if out else np.zeros(0)
+
+        def teammate_mask(physics):
+            del physics
+            return np.array([1.0 if o.team == player.team else 0.0
+                             for o in others])
+
+        def stats_vel_to_ball(physics):
+            """Own speed toward the ball (reference observables
+            stats_vel_to_ball)."""
+            to_ball = ball.position(physics) - walker.root_xpos(physics)
+            n = np.linalg.norm(to_ball[:2])
+            if n < 1e-9:
+                return np.zeros(1)
+            v = self._root_linvel(physics, walker)
+            return np.array([float(v[:2] @ (to_ball[:2] / n))])
+
+        def stats_ball_events(physics):
+            """[i_am_last_hit, hit, repossessed, intercepted]
+            (reference soccer_ball hit/interception tracking)."""
+            del physics
+            return np.array([
+                1.0 if ball.last_hit is player else 0.0,
+                1.0 if ball.hit else 0.0,
+                1.0 if ball.repossessed else 0.0,
+                1.0 if ball.intercepted else 0.0,
+            ])
+
+        obs["ball_ego_position"] = Generic(lambda p: ball_ego(p))
+        obs["ball_ego_linear_velocity"] = Generic(
+            lambda p: ball_ego_vel(p))
+        obs["team_goal_back_right"] = Generic(
+            lambda p: goal_ego(p, player.team))
+        obs["field_front_left"] = Generic(
+            lambda p: goal_ego(p, "away" if player.team == "home"
+                               else "home"))
+        obs["others_ego_position"] = Generic(lambda p: others_ego(p))
+        obs["others_ego_linear_velocity"] = Generic(
+            lambda p: others_ego_vel(p))
+        obs["teammate_mask"] = Generic(teammate_mask)
+        obs["stats_vel_to_ball"] = Generic(stats_vel_to_ball)
+        obs["stats_ball_events"] = Generic(stats_ball_events)
         name = f"player_{i}"
-        self._task_observables[f"{name}/ball_ego_position"] = Generic(
-            ball_ego)
-        self._task_observables[f"{name}/others_ego_position"] = Generic(
-            others_ego)
-        for obs in self._task_observables.values():
-            obs.enabled = True
+        for k, o in obs.items():
+            o.enabled = True
+            self._task_observables[f"{name}/{k}"] = o
 
     @property
     def root_entity(self):
@@ -112,7 +181,44 @@ class Task(composer.Task):
 
     # -- scoring ------------------------------------------------------------
 
+    def _update_ball_contacts(self, physics):
+        """Detects player-ball contacts and feeds the ball's
+        hit/repossession/interception tracker (reference
+        soccer_ball.py:50 contact registration)."""
+        self._ball.clear_step_flags()
+        m = physics.model
+        d = physics.data
+        ball_geoms = {gid for name, gid in m.names.geom.items()
+                      if name.startswith(self._ball.name)}
+        if not ball_geoms:
+            return
+        dist = np.asarray(d.contact.dist)
+        g1 = np.asarray(d.contact.geom1)
+        g2 = np.asarray(d.contact.geom2)
+        active = np.where(dist < 0)[0]
+        if not len(active):
+            return
+        geom_owner = {}
+        for player in self._players:
+            prefix = player.walker.name
+            for name, gid in m.names.geom.items():
+                if name.startswith(prefix):
+                    geom_owner[gid] = player
+        last = self._ball.last_hit
+        for k in active:
+            a, b = int(g1[k]), int(g2[k])
+            player = None
+            if a in ball_geoms:
+                player = geom_owner.get(b)
+            elif b in ball_geoms:
+                player = geom_owner.get(a)
+            if player is not None:
+                teammate = (last is not None
+                            and last.team == player.team)
+                self._ball.update_hit(player, teammate)
+
     def after_step(self, physics, random_state):
+        self._update_ball_contacts(physics)
         ball_pos = self._ball.position(physics)
         goal = self._arena.detected_goal(ball_pos)
         if goal is not None:

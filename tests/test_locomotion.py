@@ -98,3 +98,30 @@ def test_reward_zoo():
         termination_error=0.0, termination_error_threshold=0.3,
         walker_features=wf, reference_features=wf)
     np.testing.assert_allclose(out.reward, 0.5 + 0.5 * 1.9, atol=1e-12)
+
+
+def test_soccer_observable_suite_and_ball_tracking():
+    """Per-player observable suite + ball possession tracking
+    (reference soccer/observables.py + soccer_ball.py:50)."""
+    from dm_control_tpu.locomotion import soccer
+
+    env = soccer.load(team_size=1, time_limit=0.25, random_state=5,
+                      pitch_size=(6, 4))
+    ts = env.reset()
+    for key in ("ball_ego_position", "ball_ego_linear_velocity",
+                "team_goal_back_right", "field_front_left",
+                "others_ego_position", "others_ego_linear_velocity",
+                "teammate_mask", "stats_vel_to_ball",
+                "stats_ball_events"):
+        assert f"player_0/{key}" in ts.observation, key
+        assert f"player_1/{key}" in ts.observation, key
+    # ball tracker API: simulate possession changes
+    task = env.task
+    ball = task._ball
+    p0, p1 = task.players
+    ball.clear_step_flags()
+    ball.update_hit(p0, teammate=False)
+    assert ball.hit and ball.last_hit is p0 and not ball.intercepted
+    ball.clear_step_flags()
+    ball.update_hit(p1, teammate=(p1.team == p0.team))
+    assert ball.intercepted  # opponent repossession
