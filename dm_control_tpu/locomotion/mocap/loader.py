@@ -98,3 +98,73 @@ def synthetic_walking_trajectory(nq: int, nv: int, num_steps: int = 120,
     qvel[:, 0] = 0.6
     return Trajectory({"qpos": qpos, "qvel": qvel}, dt=dt,
                       identifier=identifier)
+
+
+# ---------------------------------------------------------------------------
+# Protobuf trajectory serialization (the analogue of the reference's
+# mocap.proto + mocap_pb2, reference loader.py:83-105 proto decoding).
+# ---------------------------------------------------------------------------
+
+
+def trajectory_to_proto(traj: Trajectory):
+    """Encodes a Trajectory as a mocap_pb2.Trajectory message."""
+    from dm_control_tpu.locomotion.mocap.proto import mocap_pb2
+
+    msg = mocap_pb2.Trajectory(identifier=str(traj.identifier),
+                               dt=float(traj.dt))
+    qpos = np.asarray(traj["qpos"])
+    qvel = (np.asarray(traj["qvel"]) if "qvel" in traj.keys()
+            else np.zeros((len(qpos), 0)))
+    for t in range(len(qpos)):
+        ts = msg.timesteps.add()
+        ts.qpos.extend(qpos[t].tolist())
+        if qvel.shape[1]:
+            ts.qvel.extend(qvel[t].tolist())
+    return msg
+
+
+def trajectory_from_proto(msg) -> Trajectory:
+    qpos = np.array([list(ts.qpos) for ts in msg.timesteps])
+    features = {"qpos": qpos}
+    if msg.timesteps and len(msg.timesteps[0].qvel):
+        features["qvel"] = np.array([list(ts.qvel)
+                                     for ts in msg.timesteps])
+    return Trajectory(features, dt=float(msg.dt),
+                      identifier=str(msg.identifier))
+
+
+def save_trajectory_bank(path: str, trajectories) -> None:
+    """Serializes {id: Trajectory} to a TrajectoryBank proto file."""
+    from dm_control_tpu.locomotion.mocap.proto import mocap_pb2
+
+    bank = mocap_pb2.TrajectoryBank()
+    for traj in (trajectories.values()
+                 if isinstance(trajectories, dict) else trajectories):
+        bank.trajectories.append(trajectory_to_proto(traj))
+    with open(path, "wb") as f:
+        f.write(bank.SerializeToString())
+
+
+class ProtoTrajectoryLoader(TrajectoryLoader):
+    """Loads clips from a TrajectoryBank proto file (the reference's
+    proto-backed loader path)."""
+
+    def __init__(self, path: str, trajectory_class=Trajectory):
+        from dm_control_tpu.locomotion.mocap.proto import mocap_pb2
+
+        with open(path, "rb") as f:
+            bank = mocap_pb2.TrajectoryBank.FromString(f.read())
+        self._trajectory_class = trajectory_class
+        self._trajectories = {
+            str(msg.identifier): trajectory_from_proto(msg)
+            for msg in bank.trajectories}
+
+    def keys(self):
+        return list(self._trajectories)
+
+    def get_trajectory(self, identifier: str, start_step=None,
+                       end_step=None) -> Trajectory:
+        traj = self._trajectories[identifier]
+        if start_step is not None or end_step is not None:
+            traj = traj.sub_trajectory(start_step or 0, end_step)
+        return traj

@@ -5,3 +5,4 @@ from dm_control_tpu.locomotion.tasks.reference_pose.tracking import (  # noqa: F
     MultiClipMocapTracking, ReferencePosesTask,
 )
 from dm_control_tpu.locomotion.tasks.reference_pose import rewards  # noqa: F401
+from dm_control_tpu.locomotion.tasks.reference_pose import datasets  # noqa: F401

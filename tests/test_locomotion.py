@@ -125,3 +125,51 @@ def test_soccer_observable_suite_and_ball_tracking():
     ball.clear_step_flags()
     ball.update_hit(p1, teammate=(p1.team == p0.team))
     assert ball.intercepted  # opponent repossession
+
+
+def test_mocap_proto_roundtrip(tmp_path):
+    """Trajectory <-> proto schema roundtrip + bank loader (reference
+    mocap.proto + loader.py:83-105)."""
+    from dm_control_tpu.locomotion.mocap.loader import (
+        ProtoTrajectoryLoader, save_trajectory_bank,
+        synthetic_walking_trajectory, trajectory_from_proto,
+        trajectory_to_proto,
+    )
+
+    traj = synthetic_walking_trajectory(nq=9, nv=8, num_steps=20,
+                                    identifier="walk_a")
+    msg = trajectory_to_proto(traj)
+    back = trajectory_from_proto(msg)
+    np.testing.assert_allclose(back["qpos"], traj["qpos"])
+    np.testing.assert_allclose(back["qvel"], traj["qvel"])
+    assert back.dt == traj.dt
+
+    path = str(tmp_path / "bank.pb")
+    save_trajectory_bank(path, {"walk_a": traj})
+    loader = ProtoTrajectoryLoader(path)
+    assert loader.keys() == ["walk_a"]
+    clip = loader.get_trajectory("walk_a", start_step=5, end_step=15)
+    assert clip.num_steps == 10
+
+
+def test_dataset_registry_subsets(tmp_path):
+    from dm_control_tpu.locomotion.mocap.loader import (
+        ProtoTrajectoryLoader, save_trajectory_bank,
+        synthetic_walking_trajectory,
+    )
+    from dm_control_tpu.locomotion.tasks.reference_pose import datasets
+
+    trajs = {name: synthetic_walking_trajectory(
+        nq=9, nv=8, num_steps=15, identifier=name)
+        for name in ("walk_01", "run_02", "jump_03", "stand_04")}
+    path = str(tmp_path / "bank.pb")
+    save_trajectory_bank(path, trajs)
+    loader = ProtoTrajectoryLoader(path)
+
+    assert set(datasets.get_dataset("all", loader).ids) == set(trajs)
+    assert datasets.get_dataset("walk_tiny", loader).ids == ("walk_01",)
+    assert set(datasets.get_dataset("run_jump_tiny", loader).ids) == \
+        {"run_02", "jump_03"}
+    datasets.register_subset("custom_pair", ids=("walk_01", "run_02"))
+    assert datasets.get_dataset("custom_pair").ids == ("walk_01", "run_02")
+    assert "locomotion_small" in datasets.names()
