@@ -110,6 +110,47 @@ class Generic(Observable):
         return lambda: self._raw_callable(physics)
 
 
+class MujocoCamera(Observable):
+    """Pixel observable rendered from a named model camera through the
+    ray-cast rendering subsystem (reference observable/base.py:241-308)."""
+
+    def __init__(self, camera_name, height=240, width=320, depth=False,
+                 **kwargs):
+        self._camera_name = camera_name
+        self._height = height
+        self._width = width
+        self._depth = depth
+        self._n_channels = 1 if depth else 3
+        self._dtype = np.float32 if depth else np.uint8
+        super().__init__(**kwargs)
+
+    height = property(lambda self: self._height)
+    width = property(lambda self: self._width)
+
+    @height.setter
+    def height(self, value):
+        self._height = value
+
+    @width.setter
+    def width(self, value):
+        self._width = value
+
+    @property
+    def array_spec(self):
+        return specs.Array(
+            shape=(self._height, self._width, self._n_channels),
+            dtype=self._dtype)
+
+    def _callable(self, physics):
+        def observe():
+            img = physics.render(self._height, self._width,
+                                 self._camera_name, depth=self._depth)
+            if self._depth:
+                img = np.asarray(img, np.float32)[..., None]
+            return img
+        return observe
+
+
 class MJCFFeature(Observable):
     """Observes a named Data field slice (replaces the PyMJCF binding view
     of reference observable/mjcf.py:43)."""

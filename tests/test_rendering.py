@@ -105,3 +105,24 @@ def test_invisible_geoms_skipped(ball_physics):
     phys2.forward()
     seg = phys2.render(49, 65, camera_id=0, segmentation=True)
     assert seg[24, 32, 0] != ball_id
+
+
+def test_mujoco_camera_observable(ball_physics):
+    from dm_control_tpu.composer.observation import MujocoCamera, Updater
+
+    cam = MujocoCamera("front", height=24, width=32)
+    cam.enabled = True
+    depth_cam = MujocoCamera("front", height=24, width=32, depth=True)
+    depth_cam.enabled = True
+    assert cam.array_spec.shape == (24, 32, 3)
+    assert depth_cam.array_spec.shape == (24, 32, 1)
+
+    rng = np.random.RandomState(0)
+    updater = Updater({"pixels": cam, "depth": depth_cam},
+                      physics_steps_per_control_step=1)
+    updater.reset(ball_physics, rng)
+    obs = updater.get_observation()
+    assert obs["pixels"].shape == (24, 32, 3)
+    assert obs["pixels"].dtype == np.uint8
+    assert obs["depth"].shape == (24, 32, 1)
+    assert obs["depth"].dtype == np.float32
