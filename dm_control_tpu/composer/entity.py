@@ -240,6 +240,34 @@ class Entity(abc.ABC):
         frame_name = self._attachment_frame.get("name")
         return physics.body_pose(frame_name)
 
+    def set_velocity(self, physics, velocity=None, angular_velocity=None):
+        """Sets the entity's free-joint velocity
+        (reference entity.py:505-540)."""
+        frame_name = self._attachment_frame.get("name")
+        physics.set_body_velocity(frame_name, velocity, angular_velocity)
+
+    def shift_pose(self, physics, position=None, quaternion=None,
+                   rotate_velocity=False):
+        """Shifts the pose: position adds, quaternion pre-multiplies
+        (reference entity.py:466-504)."""
+        del rotate_velocity  # velocities are zeroed by soccer initializers
+        cur_pos, cur_quat = self.get_pose(physics)
+        new_pos = None if position is None else (
+            np.asarray(cur_pos) + np.asarray(position))
+        new_quat = None
+        if quaternion is not None:
+            q = np.asarray(quaternion, float)
+            c = np.asarray(cur_quat, float)
+            # Hamilton product q * c
+            w0, x0, y0, z0 = q
+            w1, x1, y1, z1 = c
+            new_quat = np.array([
+                w0 * w1 - x0 * x1 - y0 * y1 - z0 * z1,
+                w0 * x1 + x0 * w1 + y0 * z1 - z0 * y1,
+                w0 * y1 - x0 * z1 + y0 * w1 + z0 * x1,
+                w0 * z1 + x0 * y1 - y0 * x1 + z0 * w1])
+        self.set_pose(physics, new_pos, new_quat)
+
 
 class ModelWrapperEntity(Entity):
     """Wraps a pre-built element tree (reference entity.py:588)."""

@@ -54,6 +54,10 @@ class Buffer:
         return self._buffered_shape
 
     @property
+    def has_buffer_dim(self):
+        return self._has_buffer_dim
+
+    @property
     def dtype(self):
         return self._dtype
 

@@ -127,8 +127,10 @@ class Updater:
             elif state.observable.buffer_size is None:
                 # implicit size-1 buffers are served without the leading
                 # buffer dim (the reference's strip_singleton_obs_buffer_dim
-                # behavior, which this framework defaults to)
-                value = values[-1]
+                # behavior, which this framework defaults to); if the
+                # Buffer already stripped it, values is the bare value
+                value = (values[-1] if state.buffer.has_buffer_dim
+                         else values)
             else:
                 value = values
             out[name] = value

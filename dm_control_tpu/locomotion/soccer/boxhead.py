@@ -11,10 +11,18 @@ from dm_control_tpu.suite._modelgen import to_element
 class BoxHead(base.Walker):
     """A wheeled box-headed robot with steer/roll/kick actuators."""
 
-    def _build(self, name="boxhead", marker_rgba=None):
-        del marker_rgba  # visual only
+    def _build(self, name="boxhead", walker_id=None, marker_rgba=None):
+        self._walker_id = walker_id
         self._mjcf_root = to_element(MODEL)
         self._mjcf_root.attrib["model"] = name
+        if marker_rgba is not None:
+            rgba = " ".join(str(v) for v in marker_rgba)
+            for geom in self._mjcf_root.find_all("geom"):
+                geom.attrib["rgba"] = rgba
+
+    @property
+    def walker_id(self):
+        return self._walker_id
 
     def create_root_joints(self, attachment_frame):
         """Three slide joints (reference soccer/boxhead.py:258-266) —

@@ -1,9 +1,10 @@
 """Multi-agent soccer task (reference: dm_control/locomotion/soccer/
-task.py:36-221 + observables.py).
+task.py:36-267).
 
 Per-player actions and observations share one physics batch: the action
 vector is the concatenation of per-player controls (the reference returns
-a list of specs; ``action_spec_per_player`` provides that view).
+a list of specs; ``action_spec_per_player`` provides that view, and
+``before_step`` accepts either a flat vector or a per-player list).
 """
 
 from __future__ import annotations
@@ -14,159 +15,114 @@ import numpy as np
 from dm_env import specs
 
 from dm_control_tpu import composer
-from dm_control_tpu.composer.observation.observable import Generic
+from dm_control_tpu.locomotion.soccer import initializers as initializers_lib
+from dm_control_tpu.locomotion.soccer import observables as observables_lib
+from dm_control_tpu.locomotion.soccer.soccer_ball import SoccerBall
+from dm_control_tpu.locomotion.soccer.team import Player, Team  # noqa: F401
+
+_THROW_IN_BALL_Z = 0.5
 
 
-class Player:
-    def __init__(self, team, walker):
-        self.team = team
-        self.walker = walker
+def _disable_geom_contacts(entities):
+    """Zeroes contype on every geom of the given entities (reference
+    task.py:36-41)."""
+    for entity in entities:
+        root = entity.mjcf_model
+        for geom in root.find_all("geom"):
+            geom.attrib["contype"] = "0"
 
 
 class Task(composer.Task):
-    """N-vs-N soccer with goal rewards."""
+    """N-vs-N soccer with goal rewards (reference task.py:44-233)."""
 
-    def __init__(self, players, arena, ball, contact_termination=False,
-                 physics_timestep=0.005, control_timestep=0.025):
-        self._arena = arena
-        self._players = list(players)
-        self._ball = ball
-        arena.add_free_entity(ball)
-        for player in self._players:
-            arena.add_free_entity(player.walker)
-            player.walker.observables.enable_proprioception()
-        self._scores = {"home": 0, "away": 0}
-        self._terminated = False
+    def __init__(self, players, arena, ball=None, initializer=None,
+                 observables=None, disable_walker_contacts=False,
+                 physics_timestep=0.005, control_timestep=0.025,
+                 tracking_cameras=()):
+        self.arena = arena
+        self.players = list(players)
+        self._initializer = (initializer
+                             or initializers_lib.UniformInitializer())
+        self._observables_adder = (
+            observables or observables_lib.CoreObservablesAdder())
+        if disable_walker_contacts:
+            _disable_geom_contacts([p.walker for p in self.players])
+        self.ball = ball or SoccerBall()
+        arena.add_free_entity(self.ball)
+        if hasattr(arena, "register_ball"):
+            arena.register_ball(self.ball)
+        self._scores = {Team.HOME: 0, Team.AWAY: 0}
         self._task_observables = collections.OrderedDict()
-        for i, player in enumerate(self._players):
-            self._add_player_observables(i, player)
+        self._player_index = {id(p): i for i, p in enumerate(self.players)}
+        for player in self.players:
+            arena.add_free_entity(player.walker)
+            self.ball.register_player(player)
+            self._observables_adder(self, player)
+        self._tracking_cameras = tuple(tracking_cameras)
         self.set_timesteps(control_timestep, physics_timestep)
 
-    def _root_linvel(self, physics, entity):
-        """World-frame linear velocity of a free entity's root joint."""
-        prefix = entity.name
-        for jname, j in physics.model.names.joint.items():
-            if jname.startswith(prefix) and jname.endswith("_root"):
-                a = int(physics.model.jnt_dofadr[j])
-                return np.asarray(physics.data.qvel[a:a + 3])
-        return np.zeros(3)
+    # -- compat aliases -------------------------------------------------------
 
-    def _add_player_observables(self, i, player):
-        """Per-player egocentric observable suite (reference
-        soccer/observables.py CoreObservablesAdder): ball position /
-        velocity / angular velocity, both goals, every other player's
-        position and velocity, and game statistics."""
-        ball = self._ball
-        walker = player.walker
-        others = [p for p in self._players if p is not player]
-        obs = {}
+    @property
+    def _arena(self):
+        return self.arena
 
-        def ego(physics, vec):
-            return walker.transform_vec_to_egocentric_frame(physics, vec)
+    @property
+    def _players(self):
+        return self.players
 
-        def ball_ego(physics):
-            return ego(physics,
-                       ball.position(physics) - walker.root_xpos(physics))
+    @property
+    def _ball(self):
+        return self.ball
 
-        def ball_ego_vel(physics):
-            return ego(physics, self._root_linvel(physics, ball)
-                       - self._root_linvel(physics, walker))
-
-        def goal_ego(physics, team):
-            goal = (self._arena.home_goal if team == "home"
-                    else self._arena.away_goal)
-            mid = (np.asarray(goal.lower) + np.asarray(goal.upper)) / 2
-            return ego(physics, mid - walker.root_xpos(physics))
-
-        def others_ego(physics):
-            root = walker.root_xpos(physics)
-            out = [ego(physics, o.walker.root_xpos(physics) - root)
-                   for o in others]
-            return np.hstack(out) if out else np.zeros(0)
-
-        def others_ego_vel(physics):
-            mine = self._root_linvel(physics, walker)
-            out = [ego(physics,
-                       self._root_linvel(physics, o.walker) - mine)
-                   for o in others]
-            return np.hstack(out) if out else np.zeros(0)
-
-        def teammate_mask(physics):
-            del physics
-            return np.array([1.0 if o.team == player.team else 0.0
-                             for o in others])
-
-        def stats_vel_to_ball(physics):
-            """Own speed toward the ball (reference observables
-            stats_vel_to_ball)."""
-            to_ball = ball.position(physics) - walker.root_xpos(physics)
-            n = np.linalg.norm(to_ball[:2])
-            if n < 1e-9:
-                return np.zeros(1)
-            v = self._root_linvel(physics, walker)
-            return np.array([float(v[:2] @ (to_ball[:2] / n))])
-
-        def stats_ball_events(physics):
-            """[i_am_last_hit, hit, repossessed, intercepted]
-            (reference soccer_ball hit/interception tracking)."""
-            del physics
-            return np.array([
-                1.0 if ball.last_hit is player else 0.0,
-                1.0 if ball.hit else 0.0,
-                1.0 if ball.repossessed else 0.0,
-                1.0 if ball.intercepted else 0.0,
-            ])
-
-        obs["ball_ego_position"] = Generic(lambda p: ball_ego(p))
-        obs["ball_ego_linear_velocity"] = Generic(
-            lambda p: ball_ego_vel(p))
-        obs["team_goal_back_right"] = Generic(
-            lambda p: goal_ego(p, player.team))
-        obs["field_front_left"] = Generic(
-            lambda p: goal_ego(p, "away" if player.team == "home"
-                               else "home"))
-        obs["others_ego_position"] = Generic(lambda p: others_ego(p))
-        obs["others_ego_linear_velocity"] = Generic(
-            lambda p: others_ego_vel(p))
-        obs["teammate_mask"] = Generic(teammate_mask)
-        obs["stats_vel_to_ball"] = Generic(stats_vel_to_ball)
-        obs["stats_ball_events"] = Generic(stats_ball_events)
-        name = f"player_{i}"
-        for k, o in obs.items():
-            o.enabled = True
-            self._task_observables[f"{name}/{k}"] = o
+    def add_player_observable(self, player, name, observable):
+        """Registers an observable under ``player_{i}/{name}`` (the
+        reference attaches to the walker's observables; ours land in the
+        task dict with the same leaf names)."""
+        observable.enabled = True
+        i = self._player_index[id(player)]
+        self._task_observables[f"player_{i}/{name}"] = observable
 
     @property
     def root_entity(self):
-        return self._arena
+        return self.arena
 
-    @property
-    def players(self):
-        return self._players
+    # -- episode lifecycle ----------------------------------------------------
+
+    def initialize_episode_mjcf(self, random_state):
+        self.arena.initialize_episode_mjcf(random_state)
+
+    def after_compile(self, physics, random_state):
+        super().after_compile(physics, random_state)
+        for camera in self._tracking_cameras:
+            camera.after_compile(physics)
+
+    def _tracked_entity_positions(self, physics):
+        positions = [np.asarray(self.ball.get_pose(physics)[0])]
+        for player in self.players:
+            positions.append(np.asarray(
+                player.walker.get_pose(physics)[0]))
+        return positions
 
     def initialize_episode(self, physics, random_state):
-        self._terminated = False
-        self._ball.initialize_episode(physics, random_state)
-        size = self._arena.size
-        self._ball.set_pose(physics, position=[0, 0, self._ball.radius])
-        for i, player in enumerate(self._players):
-            sign = 1 if player.team == "home" else -1
-            x = sign * random_state.uniform(0.25, 0.75) * size[0]
-            y = random_state.uniform(-0.5, 0.5) * size[1]
-            angle = random_state.uniform(-np.pi, np.pi)
-            player.walker.set_pose(
-                physics, position=[x, y, 1.0],
-                quaternion=[np.cos(angle / 2), 0, 0, np.sin(angle / 2)])
+        self.arena.initialize_episode(physics, random_state)
+        self.ball.initialize_episode(physics, random_state)
+        self._initializer(self, physics, random_state)
+        if hasattr(self.arena, "update_detection"):
+            self.arena.update_detection(physics)
+        for camera in self._tracking_cameras:
+            camera.initialize_episode(
+                self._tracked_entity_positions(physics))
 
     # -- actions ------------------------------------------------------------
 
     def action_spec_per_player(self, physics):
         """List of per-player BoundedArrays (the reference's spec shape,
-        soccer/task.py:36)."""
+        soccer/task.py:210)."""
         full = physics.action_spec()
-        nu_each = full.shape[0] // max(len(self._players), 1)
+        nu_each = full.shape[0] // max(len(self.players), 1)
         out = []
-        for i in range(len(self._players)):
+        for i in range(len(self.players)):
             sl = slice(i * nu_each, (i + 1) * nu_each)
             out.append(specs.BoundedArray(
                 shape=(nu_each,), dtype=full.dtype,
@@ -174,10 +130,24 @@ class Task(composer.Task):
                 name=f"player_{i}"))
         return out
 
+    def _throw_in(self, physics, random_state, ball):
+        """Pull an off-court ball back toward the field (reference
+        task.py:118-126)."""
+        x, y, _ = np.asarray(ball.position(physics))
+        shrink_x, shrink_y = random_state.uniform([0.7, 0.7], [0.9, 0.9])
+        ball.set_pose(physics, [x * shrink_x, y * shrink_y,
+                                _THROW_IN_BALL_Z])
+        ball.set_velocity(physics, velocity=np.zeros(3),
+                          angular_velocity=np.zeros(3))
+        ball.initialize_entity_trackers()
+
     def before_step(self, physics, action, random_state):
         if isinstance(action, (list, tuple)):
             action = np.concatenate([np.asarray(a).ravel() for a in action])
         physics.set_control(action)
+        if (hasattr(self.arena, "detected_off_court")
+                and self.arena.detected_off_court()):
+            self._throw_in(physics, random_state, self.ball)
 
     # -- scoring ------------------------------------------------------------
 
@@ -185,11 +155,11 @@ class Task(composer.Task):
         """Detects player-ball contacts and feeds the ball's
         hit/repossession/interception tracker (reference
         soccer_ball.py:50 contact registration)."""
-        self._ball.clear_step_flags()
+        self.ball.clear_step_flags()
         m = physics.model
         d = physics.data
         ball_geoms = {gid for name, gid in m.names.geom.items()
-                      if name.startswith(self._ball.name)}
+                      if name.startswith(self.ball.name)}
         if not ball_geoms:
             return
         dist = np.asarray(d.contact.dist)
@@ -199,12 +169,13 @@ class Task(composer.Task):
         if not len(active):
             return
         geom_owner = {}
-        for player in self._players:
+        for player in self.players:
             prefix = player.walker.name
             for name, gid in m.names.geom.items():
                 if name.startswith(prefix):
                     geom_owner[gid] = player
-        last = self._ball.last_hit
+        last = self.ball.last_hit
+        ball_pos = self.ball.position(physics)
         for k in active:
             a, b = int(g1[k]), int(g2[k])
             player = None
@@ -215,45 +186,79 @@ class Task(composer.Task):
             if player is not None:
                 teammate = (last is not None
                             and last.team == player.team)
-                self._ball.update_hit(player, teammate)
+                self.ball.update_hit(player, teammate, position=ball_pos)
 
     def after_step(self, physics, random_state):
         self._update_ball_contacts(physics)
-        ball_pos = self._ball.position(physics)
-        goal = self._arena.detected_goal(ball_pos)
-        if goal is not None:
-            scoring_team = "away" if goal.team == "home" else "home"
-            self._scores[scoring_team] += 1
-            self._terminated = True
+        if hasattr(self.arena, "update_detection"):
+            self.arena.update_detection(physics)
+        scored = self.arena.detected_goal()
+        if scored is not None:
+            self._scores[scored] += 1
+        for camera in self._tracking_cameras:
+            camera.after_step(self._tracked_entity_positions(physics))
+
+    @property
+    def scores(self):
+        return dict(self._scores)
 
     def get_reward(self, physics):
         """+1 for the scoring team's players, -1 for the other
-        (returned as a per-player list like the reference)."""
-        ball_pos = self._ball.position(physics)
-        goal = self._arena.detected_goal(ball_pos)
-        if goal is None:
-            return [0.0] * len(self._players)
-        scoring_team = "away" if goal.team == "home" else "home"
-        return [1.0 if p.team == scoring_team else -1.0
-                for p in self._players]
+        (returned as a per-player list like the reference,
+        task.py:138-165)."""
+        del physics
+        scoring_team = self.arena.detected_goal()
+        if scoring_team is None:
+            return [np.zeros((), np.float32) for _ in self.players]
+        return [np.ones((), np.float32) if p.team == scoring_team
+                else -np.ones((), np.float32) for p in self.players]
 
-    def should_terminate_episode(self, physics):
-        return self._terminated
+    def get_reward_spec(self):
+        return [specs.Array(name="reward", shape=(), dtype=np.float32)
+                for _ in self.players]
 
     def get_discount(self, physics):
-        return 0.0 if self._terminated else 1.0
+        del physics
+        if self.arena.detected_goal() is not None:
+            return np.zeros((), np.float32)
+        return np.ones((), np.float32)
+
+    def get_discount_spec(self):
+        return specs.Array(name="discount", shape=(), dtype=np.float32)
+
+    def should_terminate_episode(self, physics):
+        del physics
+        return self.arena.detected_goal() is not None
 
 
 class MultiturnTask(Task):
-    """Continues play after goals instead of terminating
-    (reference task.py:221)."""
+    """Continuous game play through scoring events until timeout
+    (reference task.py:236-267)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._should_reset = False
+
+    def should_terminate_episode(self, physics):
+        del physics
+        return False
+
+    def get_discount(self, physics):
+        del physics
+        return np.ones((), np.float32)
+
+    def before_step(self, physics, action, random_state):
+        super().before_step(physics, action, random_state)
+        if self._should_reset:
+            self.ball.initialize_entity_trackers()
+            self._should_reset = False
 
     def after_step(self, physics, random_state):
-        ball_pos = self._ball.position(physics)
-        goal = self._arena.detected_goal(ball_pos)
-        if goal is not None:
-            scoring_team = "away" if goal.team == "home" else "home"
-            self._scores[scoring_team] += 1
-            # reset the ball to center, play on
-            self._ball.set_pose(
-                physics, position=[0, 0, self._ball.radius])
+        super().after_step(physics, random_state)
+        if self.arena.detected_goal() is not None:
+            self._initializer(self, physics, random_state)
+            # Goal detection stays stale so this step's reward fires;
+            # refresh only the off-court state for the next before_step.
+            if hasattr(self.arena, "field"):
+                self.arena.field.update(physics)
+            self._should_reset = True

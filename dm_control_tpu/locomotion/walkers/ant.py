@@ -10,9 +10,13 @@ from dm_control_tpu.suite._modelgen import to_element
 class Ant(base.Walker):
     """A quadruped ant (model: reference third_party/ant/ant.xml)."""
 
-    def _build(self, name="ant"):
+    def _build(self, name="ant", marker_rgba=None):
         self._mjcf_root = to_element(MODEL)
         self._mjcf_root.attrib["model"] = name
+        if marker_rgba is not None:
+            rgba = " ".join(str(v) for v in marker_rgba)
+            for geom in self._mjcf_root.find_all("geom"):
+                geom.attrib["rgba"] = rgba
 
     @property
     def root_body_name(self):

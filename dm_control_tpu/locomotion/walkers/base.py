@@ -46,6 +46,44 @@ class Walker(composer.Entity):
         return np.asarray(physics.named_field(
             "xpos", self._prefixed(self.root_body_name)))
 
+    @property
+    def upright_pose(self):
+        """(qpos, xpos, xquat) used by UprightInitializer; None entries
+        mean 'keep the model default' (reference walkers/base.py)."""
+        from dm_control_tpu.locomotion.walkers.initializers import (
+            UprightPose,
+        )
+
+        return UprightPose(qpos=None, xpos=None, xquat=None)
+
+    def root_linear_velocity(self, physics):
+        """World-frame linear velocity of the root (free joint or
+        root_x/y/z slide triplet, e.g. soccer BoxHead)."""
+        m = physics.model
+        frame = self.attachment_frame.get("name") if \
+            self.attachment_frame is not None else self.name
+        jname = f"{frame}_root"
+        if jname in m.names.joint:
+            a = int(m.jnt_dofadr[m.names.joint[jname]])
+            return np.asarray(physics.data.qvel[a:a + 3])
+        out = np.zeros(3)
+        for i, axis in enumerate(("x", "y", "z")):
+            nm = f"{self.name}/root_{axis}"
+            if nm in m.names.joint:
+                a = int(m.jnt_dofadr[m.names.joint[nm]])
+                out[i] = float(physics.data.qvel[a])
+        return out
+
+    def reinitialize_pose(self, physics, random_state):
+        """Restores an upright default orientation (the reference routes
+        this through walker initializers, walkers/base.py)."""
+        del random_state
+        pos, _ = self.get_pose(physics)
+        try:
+            self.set_pose(physics, np.asarray(pos), [1.0, 0.0, 0.0, 0.0])
+        except ValueError:
+            self.set_pose(physics, np.asarray(pos))
+
     def transform_vec_to_egocentric_frame(self, physics, vec_in_world):
         """World vector → walker root frame
         (reference walkers/base.py:77)."""

@@ -244,6 +244,7 @@ class Physics:
     # -- body pose helpers (composer entities) ------------------------------
 
     def body_pose(self, body_name: str):
+        self._ensure_clean()
         b = self._model.names.body[body_name]
         return (np.asarray(self._data.xpos[b]),
                 np.asarray(self._data.xquat[b]))
@@ -264,6 +265,28 @@ class Physics:
         if quaternion is not None:
             qpos = qpos.at[qadr + 3:qadr + 7].set(jnp.asarray(quaternion))
         self._data = self._data.replace(qpos=qpos)
+        self.mark_as_dirty()
+
+    def set_body_velocity(self, body_name: str, velocity=None,
+                          angular_velocity=None):
+        """Writes a free body's linear/angular velocity into qvel
+        (reference composer/entity.py set_velocity free-joint branch)."""
+        m = self._model
+        b = m.names.body[body_name]
+        jadr = m.body_jntadr[b]
+        if jadr < 0 or m.jnt_type[jadr] != int(JointType.FREE):
+            raise ValueError(
+                f"Body {body_name!r} has no free joint; cannot set velocity.")
+        dadr = m.jnt_dofadr[jadr]
+        qvel = self._data.qvel
+        if velocity is not None:
+            v = jnp.broadcast_to(jnp.asarray(velocity, qvel.dtype), (3,))
+            qvel = qvel.at[dadr:dadr + 3].set(v)
+        if angular_velocity is not None:
+            w = jnp.broadcast_to(
+                jnp.asarray(angular_velocity, qvel.dtype), (3,))
+            qvel = qvel.at[dadr + 3:dadr + 6].set(w)
+        self._data = self._data.replace(qvel=qvel)
         self.mark_as_dirty()
 
     def bind(self, elements):

@@ -8,6 +8,7 @@ ray-cast core in rendering/raster.py.
 
 from __future__ import annotations
 
+import collections
 from typing import Optional, Union
 
 import jax.numpy as jnp
@@ -153,13 +154,16 @@ class Camera:
         ext = np.hstack([rot.T, -(rot.T @ pos)[:, None]])
         return image @ ext
 
+    def _world_pose(self):
+        return camera_pose(self._physics, self._camera_id)
+
     def render(self, depth: bool = False, segmentation: bool = False,
                scene_option=None, render_flag_overrides=None):
         if depth and segmentation:
             raise ValueError("depth and segmentation are exclusive")
         phys = self._physics
         m = phys.model
-        pos, rot, fovy = camera_pose(phys, self._camera_id)
+        pos, rot, fovy = self._world_pose()
         dirs = _ray_directions(rot, fovy, self._height, self._width)
         gpos, gmat, gsize, gtypes = _scene_arrays(phys)
         f32 = jnp.float32
@@ -178,6 +182,46 @@ class Camera:
             along = np.asarray(zdist) * (dirs @ forward).astype(np.float32)
             return along.reshape(self._height, self._width)
         return np.asarray(rgb).reshape(self._height, self._width, 3)
+
+
+class Pose(collections.namedtuple("Pose",
+                                  ("lookat", "distance", "azimuth",
+                                   "elevation"))):
+    """Camera pose (reference engine.py:929 Pose namedtuple)."""
+    __slots__ = ()
+
+
+class MovableCamera(Camera):
+    """A camera with an explicit, settable free-camera pose
+    (reference engine.py:939 MovableCamera)."""
+
+    def __init__(self, physics, height: int = 240, width: int = 320,
+                 **_unused):
+        super().__init__(physics, height, width, camera_id=-1)
+        m = physics.model
+        center = np.asarray(m.stat.center, np.float64)
+        extent = float(m.stat.extent)
+        self._pose = Pose(lookat=center, distance=1.5 * extent,
+                          azimuth=_DEFAULT_AZIMUTH,
+                          elevation=_DEFAULT_ELEVATION)
+
+    def get_pose(self) -> Pose:
+        return self._pose
+
+    def set_pose(self, lookat, distance, azimuth, elevation):
+        self._pose = Pose(lookat=np.asarray(lookat, np.float64),
+                          distance=float(distance),
+                          azimuth=float(azimuth),
+                          elevation=float(elevation))
+
+    def _world_pose(self):
+        az = np.deg2rad(self._pose.azimuth)
+        el = np.deg2rad(self._pose.elevation)
+        forward = np.array([np.cos(el) * np.cos(az),
+                            np.cos(el) * np.sin(az),
+                            np.sin(el)])
+        pos = np.asarray(self._pose.lookat) - forward * self._pose.distance
+        return pos, _lookat_frame(-forward), _DEFAULT_FOVY
 
 
 def render(physics, height: int = 240, width: int = 320,

@@ -173,3 +173,117 @@ def test_dataset_registry_subsets(tmp_path):
     datasets.register_subset("custom_pair", ids=("walk_01", "run_02"))
     assert datasets.get_dataset("custom_pair").ids == ("walk_01", "run_02")
     assert "locomotion_small" in datasets.names()
+
+
+def test_soccer_reference_api_surface():
+    """The reference soccer package surface: team module, adders,
+    initializers, load kwargs (reference soccer/__init__.py:16-45)."""
+    from dm_control_tpu.locomotion import soccer
+
+    assert soccer.Team.HOME.value == 0 and soccer.Team.AWAY.value == 1
+    p = soccer.Player(soccer.Team.HOME, walker=None)
+    assert p.team is soccer.Team.HOME
+    for name in ("CoreObservablesAdder", "InterceptionObservablesAdder",
+                 "MultiObservablesAdder", "ObservablesAdder",
+                 "UniformInitializer", "Initializer", "RandomizedPitch",
+                 "MultiturnTask", "WalkerType", "regulation_soccer_ball",
+                 "MINI_FOOTBALL_GOAL_SIZE", "RGBA_BLUE", "RGBA_RED",
+                 "Humanoid", "MultiplayerTrackingCamera"):
+        assert hasattr(soccer, name), name
+    ball = soccer.regulation_soccer_ball()
+    assert abs(ball.radius - 0.117) < 1e-9
+
+
+def test_soccer_interception_adder_and_multiturn():
+    """Interception observables + continuous play (reference
+    observables.py:352-425, task.py:236-267)."""
+    from dm_control_tpu.locomotion import soccer
+    from dm_control_tpu.locomotion.soccer.loader import _make_players
+
+    players = _make_players(1, soccer.WalkerType.BOXHEAD)
+    task = soccer.MultiturnTask(
+        players=players,
+        arena=soccer.Pitch(size=(6, 4)),
+        ball=soccer.SoccerBall(),
+        observables=soccer.MultiObservablesAdder([
+            soccer.CoreObservablesAdder(),
+            soccer.InterceptionObservablesAdder()]))
+    env = composer.Environment(task, time_limit=0.25, random_state=2)
+    ts = env.reset()
+    for key in ("stats_i_received_ball",
+                "stats_opponent_intercepted_ball",
+                "stats_i_received_ball_10m",
+                "stats_opponent_intercepted_ball_15m"):
+        assert f"player_0/{key}" in ts.observation, key
+    specs_pp = task.action_spec_per_player(env.physics)
+    rng = np.random.RandomState(0)
+    while not ts.last():
+        ts = env.step([rng.uniform(-1, 1, s.shape) for s in specs_pp])
+    # multiturn never terminates early: full time-limit episode
+    assert env.physics.time() >= 0.25 - 1e-9
+    # distance tracking feeds the interception thresholds
+    ball = task.ball
+    ball.update_hit(players[0], teammate=False, position=np.zeros(3))
+    ball.update_hit(players[1], teammate=False,
+                    position=np.array([12.0, 0, 0]))
+    assert ball.dist_between_last_hits == 12.0
+
+
+def test_walker_initializers():
+    """Walker pose initializers (reference walkers/initializers)."""
+    from dm_control_tpu.locomotion.soccer import BoxHead
+    from dm_control_tpu.locomotion.walkers import initializers as wi
+    from dm_control_tpu.locomotion.walkers.initializers.mocap import (
+        CMUMocapInitializer,
+    )
+    from dm_control_tpu.physics.physics import Physics
+
+    arena = Floor(size=(4, 4))
+    walker = BoxHead(name="walker0")
+    arena.add_free_entity(walker)
+    physics = Physics.from_mjcf_model(arena.mjcf_model)
+    physics.forward()
+    rng = np.random.RandomState(0)
+    for init in (wi.UprightInitializer(), wi.NoOpInitializer(),
+                 wi.ProneInitializer(),
+                 wi.RandomlySampledInitializer([wi.NoOpInitializer()]),
+                 CMUMocapInitializer()):
+        init.initialize_pose(physics, walker, rng)
+    assert np.all(np.isfinite(np.asarray(physics.data.qpos)))
+
+
+def test_movable_camera_and_tracking_camera():
+    """MovableCamera pose control + soccer tracking camera (reference
+    engine.py:939, soccer/camera.py)."""
+    from dm_control_tpu.locomotion.soccer.camera import (
+        MultiplayerTrackingCamera,
+    )
+    from dm_control_tpu.physics.physics import Physics
+    from dm_control_tpu.rendering.camera import MovableCamera
+
+    xml = """<mujoco><worldbody>
+      <geom type=\"plane\" size=\"5 5 .1\"/>
+      <body pos=\"0 0 1\"><geom type=\"sphere\" size=\".3\"
+        rgba=\"1 0 0 1\"/></body>
+    </worldbody></mujoco>"""
+    phys = Physics.from_xml_string(xml)
+    phys.forward()
+    cam = MovableCamera(phys, height=24, width=32)
+    pose = cam.get_pose()
+    cam.set_pose([0, 0, 1], 4.0, 90, -30)
+    assert cam.get_pose().distance == 4.0
+    img = cam.render()
+    assert img.shape == (24, 32, 3) and img.any()
+
+    tracker = MultiplayerTrackingCamera(
+        min_distance=2, distance_factor=1, smoothing_update_speed=0.5,
+        width=32, height=24)
+    with pytest.raises(ValueError):
+        tracker.render()
+    tracker.after_compile(phys)
+    positions = [np.zeros(3), np.array([1.0, 1, 1])]
+    tracker.initialize_episode(positions)
+    d0 = tracker.camera.get_pose().distance
+    tracker.after_step([np.zeros(3), np.array([8.0, 8, 1])])
+    assert tracker.camera.get_pose().distance > d0
+    assert tracker.render().shape == (24, 32, 3)
