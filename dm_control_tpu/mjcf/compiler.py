@@ -94,6 +94,19 @@ def _solpad(v, default) -> np.ndarray:
     return out
 
 
+def _springlength(v) -> np.ndarray:
+    """Tendon springlength → (low, high).  A scalar spec replicates into
+    both entries (mujoco 3.x oracle semantics, docs/MUJOCO_SEMANTICS.md
+    #3); absent/negative values mean "resolve to reference length at
+    qpos0" downstream."""
+    if v is None:
+        return np.array([-1.0, -1.0])
+    raw = _floats(v)
+    if raw.size == 1:
+        return np.array([raw[0], raw[0]])
+    return raw[:2].astype(float)
+
+
 class _Compiler:
     """One-shot compiler state."""
 
@@ -690,8 +703,10 @@ class _Compiler:
                 margin=_float(attrs.get("margin"), 0.0),
                 stiffness=_float(attrs.get("stiffness"), 0.0),
                 damping=_float(attrs.get("damping"), 0.0),
-                springlength=_floats(attrs.get("springlength"), 2, pad=-1.0)
-                if attrs.get("springlength") is not None else np.array([-1.0, -1.0]),
+                # scalar springlength replicates into (low, high) — mujoco
+                # 3.x oracle semantics (docs/MUJOCO_SEMANTICS.md #3); only
+                # negative values mean "use reference length at qpos0"
+                springlength=_springlength(attrs.get("springlength")),
                 solref=_solpad(attrs.get("solreflimit"), _DEF_SOLREF),
                 solimp=_solpad(attrs.get("solimplimit"), _DEF_SOLIMP),
             ))
