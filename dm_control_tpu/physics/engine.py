@@ -151,9 +151,9 @@ def euler(m: Model, d: Data) -> Data:
     dt = m.opt.timestep
     mh = d.qM + dt * jnp.diag(m.dof_damping)
     qfrc = d.qfrc_smooth + d.qfrc_constraint
-    lh = jnp.linalg.cholesky(mh)
-    y = jax.scipy.linalg.solve_triangular(lh, qfrc, lower=True)
-    qacc = jax.scipy.linalg.solve_triangular(lh.T, y, lower=False)
+    from dm_control_tpu.ops import linalg as ops_linalg
+
+    qacc = ops_linalg.chol_solve(mh, qfrc)
     return _advance(m, d, qacc, d.act_dot)
 
 

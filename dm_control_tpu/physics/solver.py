@@ -197,10 +197,10 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
             Jg = jax.lax.dynamic_slice_in_dim(
                 efc.J, start, k * dim).reshape(k, dim, m.nv)
             H = H + jnp.einsum("kiv,kij,kjw->vw", Jg, hc, Jg)
-        L = jnp.linalg.cholesky(H)
-        y = jax.scipy.linalg.solve_triangular(L, grad, lower=True)
+        from dm_control_tpu.ops import linalg as ops_linalg
+
         p = -jnp.asarray(
-            jax.scipy.linalg.solve_triangular(L.T, y, lower=False), dtype)
+            ops_linalg.chol_solve(H, jnp.asarray(grad, H.dtype)), dtype)
 
         # exact line search on the piecewise-smooth φ(α)
         jp = efc.J @ p
