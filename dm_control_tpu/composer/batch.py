@@ -67,6 +67,7 @@ class _PureTaskAdapter(control.Task):
     def __init__(self, ctask):
         self._t = ctask
         self.settle_steps = getattr(ctask, "batch_settle_steps", 0)
+        self.reward_shape = getattr(ctask, "batch_reward_shape", ())
         self.max_reset_rejections = getattr(
             ctask, "batch_max_reset_rejections", 0)
 

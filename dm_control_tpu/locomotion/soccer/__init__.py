@@ -9,7 +9,7 @@ from dm_control_tpu.locomotion.soccer.initializers import (  # noqa: F401
     Initializer, UniformInitializer,
 )
 from dm_control_tpu.locomotion.soccer.loader import (  # noqa: F401
-    WalkerType, load,
+    WalkerType, load, load_batch,
 )
 from dm_control_tpu.locomotion.soccer.observables import (  # noqa: F401
     CoreObservablesAdder, InterceptionObservablesAdder,

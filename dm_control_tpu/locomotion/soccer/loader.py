@@ -111,3 +111,30 @@ def load(team_size=2, time_limit=45.0, random_state=None,
     return composer.Environment(
         task, time_limit=time_limit, random_state=random_state,
         recompile_mjcf_every_episode=recompile)
+
+
+def load_batch(team_size=2, time_limit=45.0, pitch_size=(12, 9),
+               disable_walker_contacts=False, dtype=None, autoreset=True):
+    """N-vs-N soccer on the batched TPU path (BASELINE ladder rung 5).
+
+    Compiles the fixed-size pitch + BoxHead players once and returns an
+    ``rl.batch_env.BatchEnv`` stepping the full match under one jit
+    (per-player rewards are a (n_players,) vector per env; goal scoring
+    terminates the episode and autoreset re-kicks off).  The reference
+    parallelizes this task with one OS process per env
+    (scripts/vec_env.py:396); here thousands of games share one chip.
+    """
+    from dm_control_tpu.composer import batch as composer_batch
+
+    task = Task(
+        players=_make_players(team_size, WalkerType.BOXHEAD),
+        arena=Pitch(size=pitch_size, field_box=enable_field_box_default()),
+        ball=SoccerBall(),
+        disable_walker_contacts=disable_walker_contacts)
+    return composer_batch.compile_task(
+        task, time_limit=time_limit, dtype=dtype, autoreset=autoreset)
+
+
+def enable_field_box_default():
+    """Batched envs keep the ball in play with the pitch field box."""
+    return True

@@ -183,7 +183,7 @@ class BatchEnv:
         dtype = state.data.qpos.dtype
         ts = TimeStepData(
             step_type=jnp.asarray(FIRST, jnp.int32),
-            reward=jnp.asarray(0.0, dtype),
+            reward=jnp.zeros(getattr(self.task, "reward_shape", ()), dtype),
             discount=jnp.asarray(1.0, dtype),
             observation=obs)
         return state.replace(data=self._strip(state.data)), ts

@@ -112,6 +112,9 @@ class Task:
     #: if true, re-draw the initial state while `reject(m, d)` holds
     #: (ball_in_cup's penetration rejection loop)
     max_reset_rejections: int = 0
+    #: shape of the per-step reward; multi-agent tasks (soccer) return a
+    #: per-player vector, so reset timesteps must match that shape
+    reward_shape: tuple = ()
 
     def init(self, m: Model, qpos, qvel, rc: RandomContext, diff: Dict):
         """Returns (qpos, qvel, diff) for a new episode."""
