@@ -35,6 +35,9 @@ class BatchableTask:
 
     #: physics steps to settle after init (inside jit)
     batch_settle_steps: int = 0
+    #: shape of batch_reward's per-env return (e.g. (n_players,) for
+    #: multi-agent tasks); () means scalar reward
+    batch_reward_shape: tuple = ()
     #: re-draw episodes while batch_reject holds (bounded while_loop)
     batch_max_reset_rejections: int = 0
 

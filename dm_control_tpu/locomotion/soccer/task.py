@@ -70,6 +70,10 @@ class Task(composer.Task, BatchableTask):
             self.ball.register_player(player)
             self._observables_adder(self, player)
         self._tracking_cameras = tuple(tracking_cameras)
+        # batch_reward returns one reward per player (reference task.py
+        # get_reward returns a list); the batched runtime needs the
+        # static shape to allocate/merge reward buffers.
+        self.batch_reward_shape = (len(self.players),)
         self.set_timesteps(control_timestep, physics_timestep)
 
     # -- compat aliases -------------------------------------------------------
@@ -338,10 +342,27 @@ class Task(composer.Task, BatchableTask):
             obs[f"{pre}/ball_ego_position"] = ego(ball_pos - pos)
             obs[f"{pre}/ball_ego_linear_velocity"] = ego(ball_linv - vel)
             obs[f"{pre}/ball_ego_angular_velocity"] = ego(ball_angv)
-            own_mid = home_mid if pl["team"] == Team.HOME else away_mid
-            opp_mid = away_mid if pl["team"] == Team.HOME else home_mid
-            obs[f"{pre}/team_goal_mid"] = ego(opp_mid - pos)
-            obs[f"{pre}/field_front_left"] = ego(own_mid - pos)
+            # Reference naming (observables.py clockwise_names):
+            # team_goal_* is the player's OWN goal, opponent_goal_* the
+            # other team's, field_front_left/back_right are field
+            # corners; AWAY players see the rotated-by-half view.
+            is_home = pl["team"] == Team.HOME
+            own_mid = home_mid if is_home else away_mid
+            opp_mid = away_mid if is_home else home_mid
+            field_lo = jnp.asarray(self.arena.field.lower, d.qpos.dtype)
+            field_hi = jnp.asarray(self.arena.field.upper, d.qpos.dtype)
+            front = field_hi if is_home else field_lo
+            back = field_lo if is_home else field_hi
+
+            def ego_xy(corner_xy, pos=pos, R=R):
+                v = jnp.concatenate([corner_xy - pos[:2],
+                                     jnp.zeros((1,), corner_xy.dtype)])
+                return (R.T @ v)[:2]
+
+            obs[f"{pre}/team_goal_mid"] = ego(own_mid - pos)
+            obs[f"{pre}/opponent_goal_mid"] = ego(opp_mid - pos)
+            obs[f"{pre}/field_front_left"] = ego_xy(front)
+            obs[f"{pre}/field_back_right"] = ego_xy(back)
             others_pos, others_vel, mask = [], [], []
             for j, other in enumerate(lay["players"]):
                 if j == i:

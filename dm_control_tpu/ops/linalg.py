@@ -40,7 +40,11 @@ _LANES = 128
 _SUBLANES = 8
 _BLOCK_B = _LANES * _SUBLANES  # 1024 envs per grid step
 _TINY = 1e-30
-_MAX_N = 64  # VMEM budget: 64*64*1024*4B = 16MB/2 buffers -> cap here
+# VMEM budget per grid step: A block + L scratch are each n*n*8*128*4B,
+# b/x/y are n*8*128*4B each -> (2n^2 + 3n) * 4096 B.  n=44 gives 16.0MB
+# (vs ~16.8MB VMEM); n=48 would need 19.5MB and fail to compile.  Models
+# with nv > 44 (e.g. humanoid_CMU nv=62) fall back to the XLA path.
+_MAX_N = 44
 
 
 def _use_pallas(a, b) -> bool:
@@ -75,9 +79,15 @@ def _kernel(a_ref, b_ref, x_ref, l_ref, y_ref):
         if j > 0:
             lj = l_ref[j, 0:j]
             s = s - jnp.sum(lj * lj, axis=0)
-        # guard: padded lanes carry A=0; clamping keeps them finite
-        # (0-rhs lanes still produce x=0) without branching
-        d = jnp.sqrt(jnp.maximum(s, _TINY))
+        # Padded lanes carry A=0 (s == 0): clamp those to TINY so the
+        # 0-rhs lanes still produce x=0.  A genuinely negative pivot
+        # (non-SPD H on a bad Newton step) must propagate NaN so the
+        # divergence check downstream can catch it — matching the XLA
+        # cholesky's failure semantics rather than returning
+        # huge-but-finite garbage.
+        d = jnp.where(s > 0, jnp.sqrt(jnp.maximum(s, _TINY)),
+                      jnp.where(s == 0, jnp.asarray(_TINY ** 0.5, s.dtype),
+                                jnp.asarray(jnp.nan, s.dtype)))
         l_ref[j, j] = d
         if j + 1 < n:
             c = a_ref[j + 1:n, j]
@@ -176,6 +186,46 @@ def _chol_solve_vmap(axis_size, in_batched, a, b):
         xf = _pallas_chol_solve(af, bf)
     else:
         xf = _xla_chol_solve(af, bf)
+    return xf.reshape(lead + (n,)), True
+
+
+def _tri_solve(l, b):
+    y = jax.scipy.linalg.solve_triangular(l, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(l, -1, -2), y, lower=False)
+
+
+@jax.custom_batching.custom_vmap
+def chol_solve_factored(a, l, b):
+    """Solves ``a @ x = b`` given ``a`` AND its Cholesky factor ``l``.
+
+    Single-env signature: a (n, n), l (n, n) lower, b (n,).  Under vmap
+    the Pallas lane-major fused factor+solve runs from ``a`` when it can
+    engage (TPU, f32, n <= _MAX_N, batch >= 256); otherwise the cached
+    factor is reused with two batched triangular solves — avoiding the
+    re-factorization the plain `chol_solve` fallback would pay.
+    """
+    del a
+    return _tri_solve(l, b)
+
+
+@chol_solve_factored.def_vmap
+def _chol_solve_factored_vmap(axis_size, in_batched, a, l, b):
+    a_b, l_b, b_b = in_batched
+    if not a_b:
+        a = jnp.broadcast_to(a, (axis_size,) + a.shape)
+    if not l_b:
+        l = jnp.broadcast_to(l, (axis_size,) + l.shape)
+    if not b_b:
+        b = jnp.broadcast_to(b, (axis_size,) + b.shape)
+    n = a.shape[-1]
+    lead = a.shape[:-2]
+    af = a.reshape((-1, n, n))
+    bf = b.reshape((-1, n))
+    if _use_pallas(af, bf):
+        xf = _pallas_chol_solve(af, bf)
+    else:
+        xf = _tri_solve(l.reshape((-1, n, n)), bf[..., None])[..., 0]
     return xf.reshape(lead + (n,)), True
 
 

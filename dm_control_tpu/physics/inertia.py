@@ -54,16 +54,19 @@ def factor_m(m: Model, d: Data) -> Data:
 def solve_m(m: Model, d: Data, rhs: jax.Array) -> jax.Array:
     """Solves qM x = rhs (mj_solveM).
 
-    Vector rhs routes through ops.linalg.chol_solve, whose custom-vmap
-    rule swaps in the lane-major Pallas factor+solve kernel when the
-    surrounding BatchEnv vmap batches this call on TPU (the fused kernel
-    beats reusing qLD + two batched triangular solves by ~3-11x).
-    Matrix rhs (compile-time M^-1 columns) keeps the cached factor.
+    Vector rhs routes through ops.linalg.chol_solve_factored, whose
+    custom-vmap rule swaps in the lane-major Pallas fused factor+solve
+    kernel when the surrounding BatchEnv vmap batches this call on TPU
+    (the fused kernel beats reusing qLD + two batched triangular solves
+    by ~3-11x); when the kernel cannot engage (CPU/GPU, f64, small
+    batch, DMCT_PALLAS=0) it reuses the qLD factor cached by factor_m
+    instead of re-factorizing.  Matrix rhs (compile-time M^-1 columns)
+    keeps the cached factor.
     """
     if rhs.ndim == 1:
         from dm_control_tpu.ops import linalg as ops_linalg
 
-        return ops_linalg.chol_solve(d.qM, rhs)
+        return ops_linalg.chol_solve_factored(d.qM, d.qLD, rhs)
     y = jax.scipy.linalg.solve_triangular(d.qLD, rhs, lower=True)
     return jax.scipy.linalg.solve_triangular(d.qLD.T, y, lower=False)
 

@@ -287,3 +287,33 @@ def test_movable_camera_and_tracking_camera():
     tracker.after_step([np.zeros(3), np.array([8.0, 8, 1])])
     assert tracker.camera.get_pose().distance > d0
     assert tracker.render().shape == (24, 32, 3)
+
+
+@pytest.mark.slow
+def test_soccer_load_batch_vector_reward():
+    """2v2 load_batch with batch size != n_players: the (B, n_players)
+    reward must survive the autoreset merge (reward_shape comes from
+    Task.batch_reward_shape; regression for the (B,) vs (B, n) broadcast
+    crash)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dm_control_tpu.locomotion import soccer
+
+    env = soccer.load_batch(team_size=2, time_limit=0.5,
+                            pitch_size=(6, 4))
+    batch = 3  # != 4 players
+    state, ts = env.reset(jax.random.split(jax.random.PRNGKey(0), batch))
+    assert ts.reward.shape == (batch, 4)
+    act = jnp.zeros((batch, env.model.nu))
+    for _ in range(3):
+        state, ts = env.step(state, act)
+    assert ts.reward.shape == (batch, 4)
+    assert bool(jnp.all(jnp.isfinite(ts.reward)))
+    # reference naming semantics: own goal is behind (negative ego-x
+    # when facing the opponent goal), opponent goal ahead — the two
+    # must differ
+    own = ts.observation["player_0/team_goal_mid"]
+    opp = ts.observation["player_0/opponent_goal_mid"]
+    assert not bool(jnp.allclose(own, opp))
+    assert ts.observation["player_0/field_front_left"].shape == (batch, 2)
