@@ -2,13 +2,45 @@
 
 The reference's PyMJCF builds a schema-validated DOM with attachment and
 binding (dm_control/mjcf/element.py).  This module provides the core DOM
-used by both the XML parser and programmatic model builders; schema-level
-validation lives in the compiler, which knows the semantics of each field.
+used by both the XML parser and programmatic model builders.  Attribute
+*names* are validated by the grammar in ``mjcf.schema``; attribute
+*values* are validated eagerly on every write by the typed descriptors in
+``mjcf.attribute`` (the analogue of the reference's attribute objects,
+dm_control/mjcf/attribute.py:48-464), so a bad value fails at assignment
+with the element path in the message rather than deep in the compiler.
 """
 
 from __future__ import annotations
 
 from typing import Dict, Iterator, List, Optional
+
+from dm_control_tpu.mjcf import attribute as _attribute
+
+
+class _Attrib(dict):
+    """Attribute dict that type-checks values as they are written."""
+
+    __slots__ = ("_owner",)
+
+    def __init__(self, owner: "Element", items):
+        super().__init__()
+        self._owner = owner
+        for k, v in dict(items or {}).items():
+            self[k] = v
+
+    def __setitem__(self, key, value):
+        # owner may be mid-reconstruction (deepcopy restores dict items
+        # before the element's slots); such values were validated when
+        # first written, so skip the re-check
+        tag = getattr(self._owner, "tag", None) if hasattr(self, "_owner") \
+            else None
+        if value is not None and tag is not None:
+            _attribute.check_value(tag, key, value, self._owner.path)
+        super().__setitem__(key, value)
+
+    def update(self, *args, **kw):  # keep validation on bulk writes
+        for k, v in dict(*args, **kw).items():
+            self[k] = v
 
 
 class Element:
@@ -21,9 +53,9 @@ class Element:
     def __init__(self, tag: str, attrib: Optional[Dict[str, object]] = None,
                  parent: Optional["Element"] = None):
         self.tag = tag
-        self.attrib: Dict[str, object] = dict(attrib or {})
-        self.children: List[Element] = []
         self.parent = parent
+        self.attrib: Dict[str, object] = _Attrib(self, attrib)
+        self.children: List[Element] = []
         from dm_control_tpu.mjcf import debugging
 
         if debugging.debug_mode_enabled():
@@ -49,6 +81,18 @@ class Element:
     @property
     def name(self) -> Optional[str]:
         return self.attrib.get("name")
+
+    @property
+    def path(self) -> str:
+        """Root-to-here path like ``mujoco/worldbody/body[pole]/geom``."""
+        label = self.tag
+        attrib = getattr(self, "attrib", None)  # mid-construction safe
+        name = attrib.get("name") if attrib else None
+        if name:
+            label = f"{label}[{name}]"
+        if self.parent is None:
+            return label
+        return f"{self.parent.path}/{label}"
 
     def find_all(self, tag: str) -> List["Element"]:
         """All descendants with the given tag, in document order."""
@@ -94,7 +138,7 @@ class Element:
         return "\n".join(lines)
 
     def __repr__(self):
-        return f"<Element {self.tag} {self.attrib}>"
+        return f"<Element {self.tag} {dict(self.attrib)}>"
 
 
 def _fmt(v) -> str:

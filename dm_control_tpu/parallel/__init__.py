@@ -8,7 +8,7 @@ reductions riding ICI collectives inserted by XLA.
 """
 
 from dm_control_tpu.parallel.mesh import (  # noqa: F401
-    env_sharding, make_mesh, replicated, shard_batch,
+    env_sharding, make_mesh, replicated, shard_batch, shard_env_map,
 )
 from dm_control_tpu.parallel.runtime import (  # noqa: F401
     assert_partitioned, env_batch_sharding, initialize,

@@ -54,3 +54,29 @@ def shard_batch(mesh: Mesh, tree, axis: str = "env"):
         return jax.device_put(x, repl)
 
     return jax.tree.map(place, tree)
+
+
+def shard_env_map(mesh: Mesh, fn, axis=None):
+    """Wraps a batched env function (every argument/result a pytree whose
+    leaves carry a leading env-batch axis) in ``shard_map`` so each device
+    executes ``fn`` on ONLY its local env shard.
+
+    This is the load-bearing piece of the multi-chip design: under plain
+    ``jit`` GSPMD, batch-wide *predicates* inside the step — the Newton
+    solver's vmapped ``while_loop`` convergence test (physics/solver.py)
+    and the amortized-autoreset ``any(needs_reset)`` (rl/batch_env.py) —
+    lower to a ``pred[] all-reduce`` across every device on EVERY
+    iteration, serializing the whole mesh on its slowest member.  Env
+    stepping is embarrassingly parallel, so inside ``shard_map`` those
+    reductions stay device-local and the compiled step contains ZERO
+    cross-device collectives (asserted by ``__graft_entry__``'s dryrun).
+    """
+    spec = P(mesh.axis_names if axis is None else axis)
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # pre-0.6 fallback
+        from jax.experimental.shard_map import shard_map
+    # check_vma=False: the step closes over replicated model constants and
+    # seeds loop carries from broadcast zeros; the varying-axes checker
+    # rejects that mix even though every output is genuinely per-shard
+    return shard_map(fn, mesh=mesh, in_specs=spec, out_specs=spec,
+                     check_vma=False)

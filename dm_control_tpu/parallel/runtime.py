@@ -8,12 +8,16 @@ The reference's only cross-process machinery is multiprocessing pipes
   maps to the host-local devices over ICI — env batches are sharded over
   BOTH axes (each device owns batch/n_total envs), so stepping never
   crosses DCN and learner gradient psums ride ICI first;
-- host-local array construction via
-  ``jax.make_array_from_process_local_data`` so each host materializes
-  only its own env shard.
+- host-local array construction (each host materializes only its own
+  env shard and assembles the global array from per-device shards).
 
 Single-process (incl. the driver's virtual-device CPU mesh) uses the
 same code path: process_count == 1 simply makes the host axis length 1.
+
+All helpers are backend-agnostic: process membership is read off the
+devices themselves (``device.process_index``), never off the default
+backend — in this container a TPU-tunnel plugin owns the default
+backend while multi-process validation runs on the CPU backend.
 """
 
 from __future__ import annotations
@@ -35,7 +39,9 @@ def initialize(coordinator_address: Optional[str] = None,
     platforms pass the coordinator's host:port plus this process's rank.
     No-op if the distributed runtime is already initialized.
     """
-    if jax.process_count() > 1:
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     try:
         jax.distributed.initialize(
@@ -49,16 +55,27 @@ def initialize(coordinator_address: Optional[str] = None,
             raise
 
 
+def _process_rows(devices) -> np.ndarray:
+    """Groups ``devices`` into a (n_processes, n_local) grid by owning
+    process, rows ordered by process index."""
+    devices = np.asarray(devices).reshape(-1)
+    by_proc: dict = {}
+    for d in devices:
+        by_proc.setdefault(d.process_index, []).append(d)
+    counts = {len(v) for v in by_proc.values()}
+    if len(counts) != 1:
+        raise ValueError(
+            f"uneven devices per process: { {k: len(v) for k, v in by_proc.items()} }")
+    return np.asarray([by_proc[k] for k in sorted(by_proc)])
+
+
 def pod_mesh(host_axis: str = "host", env_axis: str = "env",
              devices: Optional[Sequence] = None) -> Mesh:
     """('host', 'env') mesh: rows = processes (DCN), cols = each host's
     local devices (ICI)."""
     if devices is None:
         devices = jax.devices()
-    devices = np.asarray(devices)
-    n_local = max(1, devices.size // max(1, jax.process_count()))
-    grid = devices.reshape(devices.size // n_local, n_local)
-    return Mesh(grid, (host_axis, env_axis))
+    return Mesh(_process_rows(devices), (host_axis, env_axis))
 
 
 def env_batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -71,16 +88,34 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _mesh_process_count(mesh: Mesh) -> int:
+    return len({d.process_index for d in mesh.devices.flat})
+
+
 def make_global_env_batch(mesh: Mesh, local_tree):
     """Assembles a globally-sharded env batch from this host's local
     shard (each process passes only its own envs).  With one process this
     is equivalent to device_put with the env-batch sharding."""
     sharding = env_batch_sharding(mesh)
-    if jax.process_count() == 1:
+    n_procs = _mesh_process_count(mesh)
+    if n_procs == 1:
         return jax.device_put(local_tree, sharding)
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(sharding, x),
-        local_tree)
+
+    def assemble(x):
+        x = np.asarray(x)
+        gshape = (x.shape[0] * n_procs,) + x.shape[1:]
+        idx_map = sharding.addressable_devices_indices_map(gshape)
+        starts = {dev: (ix[0].start or 0) for dev, ix in idx_map.items()}
+        base = min(starts.values())
+        shards = []
+        for dev, ix in idx_map.items():
+            lo = starts[dev] - base
+            hi = lo + ((ix[0].stop or gshape[0]) - (ix[0].start or 0))
+            shards.append(jax.device_put(x[lo:hi], dev))
+        return jax.make_array_from_single_device_arrays(
+            gshape, sharding, shards)
+
+    return jax.tree.map(assemble, local_tree)
 
 
 def assert_partitioned(tree, mesh: Mesh) -> None:

@@ -65,8 +65,14 @@ class BatchEnv:
         # instead of ~50 — on TPU the full-Data carry costs ~2x wall time
         # in loop-carried copies (kernel-count bound).
         self._template = make_data(model, dtype)
-        self._state_fields = ("qpos", "qvel", "act", "qacc_warmstart",
-                              "time")
+        # zero-sized state fields (e.g. act with na == 0) are stripped from
+        # the carry too: a single (B, 0) leaf in a sharded scan carry forces
+        # a per-iteration host rendezvous on multi-device backends (measured
+        # 25x step slowdown on a 4-device CPU mesh), and carrying them buys
+        # nothing — _unstrip restores the empty buffer from the template
+        self._state_fields = tuple(
+            f for f in ("qpos", "qvel", "act", "qacc_warmstart", "time")
+            if getattr(self._template, f).size > 0)
         self._derived_fields = tuple(
             f for f in type(self._template).__dataclass_fields__
             if f not in self._state_fields

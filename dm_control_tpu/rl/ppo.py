@@ -147,18 +147,29 @@ def flatten_obs(obs_dict) -> jax.Array:
 
 
 def make_train_step(env: BatchEnv, config: PPOConfig, optimizer=None,
-                    obs_dtype=jnp.float32):
-    """Builds ``train_step(state: TrainState) -> (TrainState, metrics)``."""
+                    obs_dtype=jnp.float32, mesh=None):
+    """Builds ``train_step(state: TrainState) -> (TrainState, metrics)``.
+
+    With ``mesh`` the env step runs under ``shard_map`` so each device
+    steps only its local env shard with zero cross-device collectives
+    (see parallel.shard_env_map); the learner stays global — XLA inserts
+    the gradient psums over the mesh as usual.
+    """
     optimizer = optimizer or optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
         optax.adam(config.pi_lr))
+    if mesh is not None and mesh.devices.size > 1:
+        from dm_control_tpu.parallel import shard_env_map
+        env_step = shard_env_map(mesh, env._step_batched)
+    else:
+        env_step = env.step
 
     def rollout_step(carry, _):
         params, env_state, obs, rng = carry
         rng, akey = jax.random.split(rng)
         action, logp = sample_action(params, obs, akey)
         val = value(params, obs)
-        env_state, ts = env.step(env_state, action.astype(
+        env_state, ts = env_step(env_state, action.astype(
             env_state.data.qpos.dtype))
         next_obs = flatten_obs(ts.observation).astype(obs_dtype)
         done = (ts.step_type == 2)

@@ -51,10 +51,30 @@ def test_typo_tag_rejected():
 
 
 def test_bad_keyword_rejected():
+    # typed attribute values fail EAGERLY at construction (reference
+    # attribute.py semantics), with the element path in the message
+    import pytest
+
+    from dm_control_tpu.mjcf.attribute import MJCFAttributeError
+
     root = mjcf.Element("mujoco")
-    root.add("option", integrator="RK5")
-    errors = schema.validate(root)
-    assert errors and "RK5" in errors[0]
+    with pytest.raises(MJCFAttributeError, match="RK5"):
+        root.add("option", integrator="RK5")
+
+
+def test_bad_value_rejected_at_assignment():
+    import pytest
+
+    from dm_control_tpu.mjcf.attribute import MJCFAttributeError
+
+    root = mjcf.Element("mujoco")
+    body = root.add("worldbody").add("body", name="b")
+    with pytest.raises(MJCFAttributeError, match=r"body\[b\]@pos"):
+        body.attrib["pos"] = "1 2"  # needs 3 components
+    with pytest.raises(MJCFAttributeError, match="not a number"):
+        body.add("joint", damping="soft")
+    with pytest.raises(MJCFAttributeError, match="expected 1 value"):
+        body.add("geom", type="sphere", size="0.1", mass="1 2 3")
 
 
 def test_misplaced_child_rejected():
