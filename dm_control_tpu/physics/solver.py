@@ -31,10 +31,6 @@ from dm_control_tpu.physics.constraints import (
 from dm_control_tpu.physics.model import Data, DisableBit, Model
 
 _MINVAL = 1e-15
-#: candidates per line-search refinement round (interior points of an
-#: 18-point subdivision = 16 lanes; bracket shrinks 17x per round, so
-#: 3 rounds + the Newton polish resolve α to ~1e-5 of the bracket)
-_LS_GRID = 18
 
 
 def _masks(efc: Efc):
@@ -206,57 +202,13 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
         p = -jnp.asarray(
             ops_linalg.chol_solve(H, jnp.asarray(grad, H.dtype)), dtype)
 
-        # Exact line search on the piecewise-smooth convex φ(α), evaluated
-        # lane-major over a *parallel α-grid*: a sequential
-        # bracket/bisection loop costs ~20 dependent (B, nefc) micro-ops
-        # per Newton step (HBM-latency bound on TPU); here every round
-        # evaluates φ' at _LS_GRID candidates in ONE fused broadcast op
-        # over (α, row), shrinking the bracket by (_LS_GRID+1)× per round,
-        # then polishes with a single safeguarded 1-D Newton step.
+        # exact line search on the piecewise-smooth φ(α)
         jp = efc.J @ p
         mp = M @ p
         p_mp = p @ mp
         x_as = x - a_s
-        as_mp = x_as @ mp
 
-        def d1_at(alphas):
-            """φ'(α) at a vector of candidates — one fused evaluation."""
-            jar_a = jar[None] + alphas[:, None] * jp[None]  # (K, nefc)
-            dj = efc.D[None] * jar_a
-            quad = eq[None] | (uni[None] & (jar_a < 0))
-            lin_hi = fl[None] & (dj > efc.floss[None])
-            lin_lo = fl[None] & (dj < -efc.floss[None])
-            w = jnp.where(quad | (fl[None] & ~lin_hi & ~lin_lo), dj, 0.0)
-            w = jnp.where(lin_hi, efc.floss[None], w)
-            w = jnp.where(lin_lo, -efc.floss[None], w)
-            d1 = as_mp + alphas * p_mp + jnp.sum(w * jp[None], -1)
-            for (start, k, dim), fri, mu, Dg in cone_groups:
-                jar_g = jax.lax.dynamic_slice_in_dim(
-                    jar, start, k * dim).reshape(k, dim)
-                jp_g = jax.lax.dynamic_slice_in_dim(
-                    jp, start, k * dim).reshape(k, dim)
-                ja = jar_g[None] + alphas[:, None, None] * jp_g[None]
-                D0 = Dg[:, 0]
-                n = ja[..., 0]
-                u = fri[None] * ja[..., 1:]
-                tt = jnp.sqrt(jnp.sum(u * u, -1))
-                tts = jnp.maximum(tt, _MINVAL)
-                active = (D0 > 0)[None]
-                bottom = (mu[None] * mu[None] * n + tt <= 0) & active
-                mid = active & ~bottom & ~(n >= tt)
-                dm = (D0 / (1.0 + mu * mu))[None]
-                wv = fri[None] * u / tts[..., None]
-                g = jnp.concatenate(
-                    [jnp.ones(n.shape + (1,), jar.dtype), -wv], axis=-1)
-                d_mid = (dm * (n - tt))[..., None] * g
-                d_bot = Dg[None] * ja
-                dg = jnp.where(bottom[..., None], d_bot,
-                               jnp.where(mid[..., None], d_mid, 0.0))
-                d1 = d1 + jnp.sum(dg * jp_g[None], (-2, -1))
-            return jnp.asarray(d1, dtype)
-
-        def d1d2_at(alpha):
-            """φ'(α), φ''(α) at a scalar (for the final Newton polish)."""
+        def phi_derivs(alpha):
             jar_a = jar + alpha * jp
             _, dcost_a, hw_a = _cost_terms(efc, jar_a, eq, fl, uni)
             _, dparts_a, hb_a = _cone_eval(cone_groups, jar_a,
@@ -270,43 +222,38 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
                 d2 = d2 + jnp.einsum("ki,kij,kj->", jp_g, hc, jp_g)
             return jnp.asarray(d1, dtype), jnp.asarray(d2, dtype)
 
+        # Safeguarded exact line search: φ is convex and piecewise smooth
+        # (zone switches in cone/limit rows make plain 1D Newton cycle and
+        # stall far from the minimizer).  Bracket the root of φ' by
+        # doubling, then interleave Newton steps with bisection, keeping
+        # the bracket invariant φ'(lo) < 0 < φ'(hi).
         one = jnp.asarray(1.0, dtype)
-        zero = jnp.zeros((), dtype)
 
-        # bracket: φ'(0) < 0 (descent direction); find the first power of
-        # two where φ' turns positive — all 11 probes in one evaluation
-        powers = jnp.asarray(2.0, dtype) ** jnp.arange(11)
-        d1_pow = d1_at(powers)
-        pos = d1_pow > 0
-        hi = jnp.where(jnp.any(pos),
-                       powers[jnp.argmax(pos)], powers[-1])
-        lo = jnp.where(jnp.any(pos),
-                       jnp.maximum(hi * 0.5, zero) * (hi > 1.0), zero)
+        def grow_body(k, carry):
+            hi, d1_hi = carry
+            hi2 = jnp.where(d1_hi < 0, hi * 2.0, hi)
+            d1_hi2, _ = phi_derivs(hi2)
+            take = d1_hi < 0
+            return (jnp.where(take, hi2, hi),
+                    jnp.where(take, d1_hi2, d1_hi))
 
-        # grid refinement: keep the sign-change cell of a _LS_GRID-point
-        # subdivision; each round is one fused (α, row) evaluation
-        frac = jnp.linspace(0.0, 1.0, _LS_GRID,
-                            dtype=dtype)[1:-1]  # interior points
+        d1_1, _ = phi_derivs(one)
+        hi, d1_hi = jax.lax.fori_loop(0, 10, grow_body, (one, d1_1))
 
-        def refine(carry, _):
-            lo, hi = carry
-            cand = lo + (hi - lo) * frac
-            d1c = d1_at(cand)
-            neg = d1c <= 0
-            lo2 = jnp.where(jnp.any(neg), cand[
-                jnp.argmax(jnp.where(neg, cand, -jnp.inf))], lo)
-            posc = d1c > 0
-            hi2 = jnp.where(jnp.any(posc), cand[
-                jnp.argmin(jnp.where(posc, cand, jnp.inf))], hi)
-            return (jnp.maximum(lo2, lo), jnp.minimum(hi2, hi)), None
+        def ls_body(k, carry):
+            lo, hi, alpha = carry
+            d1, d2 = phi_derivs(alpha)
+            lo = jnp.where(d1 < 0, alpha, lo)
+            hi = jnp.where(d1 > 0, alpha, hi)
+            newton = alpha - d1 / jnp.maximum(d2, _MINVAL)
+            mid = 0.5 * (lo + hi)
+            inside = (newton >= lo) & (newton <= hi)
+            nxt = jnp.where(inside, newton, mid)
+            return lo, hi, jnp.where(d1 == 0, alpha, nxt)
 
-        (lo, hi), _ = jax.lax.scan(refine, (lo, hi), None, length=3)
-
-        # safeguarded Newton polish inside the final bracket
-        alpha = 0.5 * (lo + hi)
-        d1a, d2a = d1d2_at(alpha)
-        newton = alpha - d1a / jnp.maximum(d2a, _MINVAL)
-        alpha = jnp.clip(newton, lo, hi)
+        nls = max(min(m.opt.ls_iterations, 25), 12)
+        _, _, alpha = jax.lax.fori_loop(
+            0, nls, ls_body, (jnp.zeros((), dtype), hi, one))
         x_new = x + alpha * p
         cost_new, _ = total_cost(x_new)
         # guard: reject non-descent steps

@@ -102,7 +102,7 @@ def _tracking_env(dtype=jnp.float32):
 def test_tracking_batch():
     env = _tracking_env()
     state, ts = _rollout(env, 4, 4, scale=0.3)
-    assert "reference_rel_joints" in ts.observation
+    assert "walker/reference_rel_joints" in ts.observation
     assert bool(jnp.all(jnp.isfinite(ts.reward)))
     # tracking the clip from its own start pose: reward near 1 early on
     assert float(ts.reward.mean()) > 0.8
