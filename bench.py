@@ -86,6 +86,65 @@ def bench_manipulation(name, batch, n_steps, dtype=jnp.float32):
     return control_steps / dt, control_steps * env.n_sub_steps / dt
 
 
+def _bench_batch_env(env, batch, n_steps):
+    """Times an already-built BatchEnv (shared by the ladder rungs)."""
+    key = jax.random.PRNGKey(0)
+    state, ts = env.reset(jax.random.split(key, batch))
+    acts = jnp.zeros((batch, env.model.nu), state.data.qpos.dtype)
+
+    def run(state, n):
+        def body(s, _):
+            s, _ts = env.step(s, acts)
+            return s, None
+
+        state, _ = jax.lax.scan(body, state, None, length=n)
+        return state
+
+    run_j = jax.jit(run, static_argnums=1)
+    state = run_j(state, n_steps)
+    _ = float(state.data.qpos[0, 0])
+    t0 = time.perf_counter()
+    state = run_j(state, n_steps)
+    _ = float(state.data.qpos[0, 0])
+    dt = time.perf_counter() - t0
+    return batch * n_steps / dt
+
+
+def bench_soccer(batch, n_steps, dtype=jnp.float32):
+    """BASELINE ladder rung 5a: 2v2 boxhead soccer under one jit."""
+    from dm_control_tpu.locomotion import soccer
+
+    return _bench_batch_env(soccer.load_batch(team_size=2, dtype=dtype),
+                            batch, n_steps)
+
+
+def bench_tracking(batch, n_steps, dtype=jnp.float32):
+    """BASELINE ladder rung 5b: multi-clip mocap tracking (clip bank as
+    per-env data, comic reward, reference_rel_* observations)."""
+    from dm_control_tpu.composer.batch import compile_task
+    from dm_control_tpu.locomotion.arenas.floors import Floor
+    from dm_control_tpu.locomotion.mocap.loader import (
+        synthetic_walking_trajectory,
+    )
+    from dm_control_tpu.locomotion.mocap.types import ClipCollection
+    from dm_control_tpu.locomotion.tasks.reference_pose import (
+        MultiClipMocapTracking,
+    )
+    from dm_control_tpu.locomotion.walkers.jumping_ball import (
+        RollingBallWithHead,
+    )
+
+    walker = RollingBallWithHead()
+    nq = 7 + len(walker.observable_joint_names)
+    trajs = {f"clip{i}": synthetic_walking_trajectory(
+        nq=nq, nv=nq - 1, num_steps=120, seed=i) for i in range(4)}
+    task = MultiClipMocapTracking(
+        walker, Floor(), trajs, dataset=ClipCollection(ids=tuple(trajs)),
+        termination_error_threshold=50.0, reward_type="comic")
+    return _bench_batch_env(compile_task(task, time_limit=10.0,
+                                         dtype=dtype), batch, n_steps)
+
+
 def main():
     results = {}
     try:
@@ -122,6 +181,18 @@ def main():
         results["manipulation_reach_env_steps_per_s"] = round(man_env)
     except Exception as e:  # pragma: no cover
         results["manipulation_error"] = repr(e)[:120]
+    try:
+        # ladder-5a: 2v2 soccer (multi-agent rewards, goal autoreset)
+        results["soccer_2v2_env_steps_per_s"] = round(
+            bench_soccer(512, 32))
+    except Exception as e:  # pragma: no cover
+        results["soccer_error"] = repr(e)[:120]
+    try:
+        # ladder-5b: multi-clip mocap tracking (comic reward)
+        results["tracking_env_steps_per_s"] = round(
+            bench_tracking(1024, 32))
+    except Exception as e:  # pragma: no cover
+        results["tracking_error"] = repr(e)[:120]
 
     value = round(cart_env)
     print(json.dumps({

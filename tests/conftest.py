@@ -38,3 +38,24 @@ jax.config.update("jax_default_device", _CPU_DEVICES[0])
 def cpu_mesh_devices():
     """The virtual CPU devices available for sharding tests."""
     return _CPU_DEVICES
+
+
+# -- test tiers ---------------------------------------------------------------
+# quick tier: the unit-level modules that run < 60s with a warm compile
+# cache — the inner development loop (`pytest -m quick`).  Everything
+# else (oracle parity, suite contracts, training loops) is the CI gate.
+_QUICK_MODULES = {
+    "test_containers", "test_mathx", "test_transformations",
+    "test_rewards", "test_schema", "test_named_index", "test_mjcf_utils",
+    "test_mjcf_bind", "test_viewer",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        mod = getattr(item, "module", None)
+        name = getattr(mod, "__name__", "").rsplit(".", 1)[-1]
+        if name in _QUICK_MODULES:
+            item.add_marker(_pytest.mark.quick)
