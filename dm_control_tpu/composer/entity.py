@@ -21,10 +21,11 @@ from dm_control_tpu.composer.observation.observable import Observable
 from dm_control_tpu.mjcf.element import Element
 
 # Attributes whose values reference other elements' names.
-_REF_ATTRS = ("joint", "site", "tendon", "body1", "body2", "joint1",
-              "joint2", "tendon1", "tendon2", "objname", "target", "hfield",
-              "mesh", "material", "texture", "childclass", "class",
-              "actuator", "geom1", "geom2", "prefix")
+_REF_ATTRS = ("joint", "site", "tendon", "body", "body1", "body2",
+              "joint1", "joint2", "tendon1", "tendon2", "objname",
+              "target", "hfield", "mesh", "material", "texture",
+              "childclass", "class", "actuator", "geom", "geom1", "geom2",
+              "prefix")
 
 # Top-level sections merged (not nested) on attach.
 _MERGE_SECTIONS = ("asset", "actuator", "sensor", "tendon", "equality",

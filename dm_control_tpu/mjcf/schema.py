@@ -83,8 +83,14 @@ ATTRIBUTES: Dict[str, Set[str]] = {
                 "site1", "site2"},
     "weld": {"body1", "body2", "relpose", "anchor", "active", "solref",
              "solimp", "torquescale", "site1", "site2"},
+    # <tendon> appears both as an equality constraint (tendon1/tendon2/
+    # polycoef) and as a defaults-class entry carrying fixed/spatial
+    # tendon attributes (e.g. rodent.xml's vertebral tendon defaults)
     "tendon": {"tendon1", "tendon2", "polycoef", "solref", "solimp",
-               "width", "active"},
+               "width", "active", "limited", "range", "stiffness",
+               "damping", "springlength", "frictionloss", "margin",
+               "solreflimit", "solimplimit", "solreffriction",
+               "solimpfriction", "material", "rgba", "group", "user"},
     "fixed": {"stiffness", "damping", "limited", "range", "springlength",
               "width", "solreflimit", "solimplimit", "frictionloss",
               "user"},

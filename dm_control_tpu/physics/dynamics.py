@@ -28,28 +28,44 @@ def rne(m: Model, d: Data) -> Data:
                              -m.opt.gravity if gravity_on
                              else jnp.zeros(3, dtype)])
 
-    # forward: body accelerations (velocity-product terms only)
-    cacc = [cacc0]
-    for i in range(1, m.nbody):
-        p = m.body_parentid[i]
-        a = cacc[p]
-        adr, num = m.body_dofadr[i], m.body_dofnum[i]
-        if num:
-            a = a + d.cdof_dot[adr:adr + num].T @ d.qvel[adr:adr + num]
-        cacc.append(a)
-    cacc = jnp.stack(cacc)
+    # forward: body accelerations (velocity-product terms only) — the
+    # ancestor-chain prefix sum is a static-mask matmul on the f32 path
+    if dtype == jnp.float32 and m.nbody > 4:
+        from dm_control_tpu.physics.model import (
+            body_ancestor_mask, body_dof_mask,
+        )
+
+        per_dof = d.cdof_dot * d.qvel[:, None]  # (nv, 6)
+        per_body = jnp.asarray(body_dof_mask(m), dtype) @ per_dof
+        cacc = cacc0[None] + jnp.asarray(
+            body_ancestor_mask(m), dtype) @ per_body
+    else:
+        cacc = [cacc0]
+        for i in range(1, m.nbody):
+            p = m.body_parentid[i]
+            a = cacc[p]
+            adr, num = m.body_dofadr[i], m.body_dofnum[i]
+            if num:
+                a = a + d.cdof_dot[adr:adr + num].T @ d.qvel[adr:adr + num]
+            cacc.append(a)
+        cacc = jnp.stack(cacc)
 
     # body inertial forces: f = I a + v x* (I v)
     cfrc = mx.inert_mul(d.cinert, cacc) + mx.force_cross(
         d.cvel, mx.inert_mul(d.cinert, d.cvel))
 
-    # backward: accumulate to ancestors
-    acc = [cfrc[i] for i in range(m.nbody)]
-    for level in reversed(m.body_tree_levels):
-        for i in level:
-            p = m.body_parentid[i]
-            acc[p] = acc[p] + acc[i]
-    cfrc_tot = jnp.stack(acc)
+    # backward: subtree force totals (mask matmul on the f32 path)
+    if dtype == jnp.float32 and m.nbody > 4:
+        from dm_control_tpu.physics.model import body_subtree_mask
+
+        cfrc_tot = jnp.asarray(body_subtree_mask(m), dtype) @ cfrc
+    else:
+        acc = [cfrc[i] for i in range(m.nbody)]
+        for level in reversed(m.body_tree_levels):
+            for i in level:
+                p = m.body_parentid[i]
+                acc[p] = acc[p] + acc[i]
+        cfrc_tot = jnp.stack(acc)
 
     dofbody = jnp.array(m.dof_bodyid, jnp.int32)
     qfrc_bias = jnp.einsum("vk,vk->v", d.cdof, cfrc_tot[dofbody])

@@ -23,13 +23,22 @@ def crb(m: Model, d: Data) -> Data:
     where I^c is the composite (subtree) spatial inertia.  Computed densely
     as an (nv,6)x(6,nv) product masked by the static ancestor relation.
     """
-    # composite inertia: backward accumulation over the tree
-    acc = [d.cinert[i] for i in range(m.nbody)]
-    for level in reversed(m.body_tree_levels):
-        for i in level:
-            p = m.body_parentid[i]
-            acc[p] = acc[p] + acc[i]
-    crb_inert = jnp.stack(acc)  # (nbody, 10)
+    # composite inertia = subtree sum of body spatial inertias.  On the
+    # f32 throughput path this is ONE static-mask matmul (MXU) instead of
+    # a per-level scalar-add chain; the f64 parity path keeps MuJoCo's
+    # accumulation order bit-for-bit (tests/test_physics_oracle.py).
+    from dm_control_tpu.physics.model import body_subtree_mask
+
+    if d.qpos.dtype == jnp.float32 and m.nbody > 4:
+        crb_inert = jnp.asarray(body_subtree_mask(m),
+                                d.qpos.dtype) @ d.cinert  # (nbody, 10)
+    else:
+        acc = [d.cinert[i] for i in range(m.nbody)]
+        for level in reversed(m.body_tree_levels):
+            for i in level:
+                p = m.body_parentid[i]
+                acc[p] = acc[p] + acc[i]
+        crb_inert = jnp.stack(acc)  # (nbody, 10)
 
     if m.nv == 0:
         return d.replace(qM=jnp.zeros((0, 0), d.qpos.dtype))

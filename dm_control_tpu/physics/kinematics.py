@@ -104,6 +104,8 @@ def kinematics(m: Model, d: Data) -> Data:
                 xaxis = xaxis.at[j].set(mx.rotate(jaxn, newq)
                                         if jtype != int(JointType.SLIDE)
                                         else mx.rotate(jaxn, qsel))
+                pos, quat, xanchor, xaxis = jax.lax.optimization_barrier(
+                    (pos, quat, xanchor, xaxis))
         xpos = xpos.at[bidx].set(pos)
         xquat = xquat.at[bidx].set(quat)
         # materialize the level's frames: in large fused programs
@@ -136,15 +138,23 @@ def kinematics(m: Model, d: Data) -> Data:
 def com_pos(m: Model, d: Data) -> Data:
     """mj_comPos: subtree CoM, CoM-centered body inertias and dof subspaces."""
     dtype = d.qpos.dtype
-    # subtree com: backward accumulation of mass-weighted ipos
+    # subtree com: subtree sum of mass-weighted ipos (mask matmul on the
+    # f32 path; MuJoCo accumulation order on the f64 parity path)
     mass = m.body_mass[:, None]
-    weighted = [mass[i] * d.xipos[i] for i in range(m.nbody)]
-    acc = list(weighted)
-    for levels in reversed(m.body_tree_levels):
-        for i in levels:
-            p = m.body_parentid[i]
-            acc[p] = acc[p] + acc[i]
-    subtree_com = jnp.stack(acc) / jnp.maximum(
+    if dtype == jnp.float32 and m.nbody > 4:
+        from dm_control_tpu.physics.model import body_subtree_mask
+
+        wsum = jnp.asarray(body_subtree_mask(m), dtype) \
+            @ (jnp.asarray(mass, dtype) * d.xipos)
+    else:
+        weighted = [mass[i] * d.xipos[i] for i in range(m.nbody)]
+        acc = list(weighted)
+        for levels in reversed(m.body_tree_levels):
+            for i in levels:
+                p = m.body_parentid[i]
+                acc[p] = acc[p] + acc[i]
+        wsum = jnp.stack(acc)
+    subtree_com = wsum / jnp.maximum(
         m.body_subtreemass[:, None], 1e-15)
 
     # cinert: body spatial inertia about the root subtree com, world axes

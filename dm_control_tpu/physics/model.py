@@ -22,10 +22,12 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import functools
 from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ---------------------------------------------------------------------------
@@ -670,3 +672,51 @@ def make_data(m: Model, dtype=None) -> Data:
         energy=z(2),
         solver_niter=jnp.asarray(0, jnp.int32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Static tree masks (TPU fast path: subtree/ancestor accumulations become
+# one masked matmul on the MXU instead of a per-level scalar-add chain).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _tree_masks_np(parentid: Tuple[int, ...]):
+    """(ancestor, subtree) 0/1 masks for a body tree.
+
+    ancestor[i, j] = 1 iff j is an ancestor-or-self of i;
+    subtree[i, j]  = 1 iff j is in the subtree rooted at i (= ancestor.T).
+    """
+    n = len(parentid)
+    anc = np.zeros((n, n))
+    for i in range(n):
+        k = i
+        while True:
+            anc[i, k] = 1.0
+            if k == 0:
+                break
+            k = parentid[k]
+    return anc, anc.T
+
+
+def body_ancestor_mask(m: "Model") -> np.ndarray:
+    return _tree_masks_np(tuple(m.body_parentid))[0]
+
+
+def body_subtree_mask(m: "Model") -> np.ndarray:
+    return _tree_masks_np(tuple(m.body_parentid))[1]
+
+
+@functools.lru_cache(maxsize=None)
+def _body_dof_mask_np(dof_bodyid: Tuple[int, ...], nbody: int):
+    """(nbody, nv) 0/1: mask[b, v] = 1 iff dof v belongs to body b."""
+    nv = len(dof_bodyid)
+    mask = np.zeros((nbody, nv))
+    for v, b in enumerate(dof_bodyid):
+        mask[b, v] = 1.0
+    return mask
+
+
+def body_dof_mask(m: "Model") -> np.ndarray:
+    return _body_dof_mask_np(tuple(int(b) for b in np.asarray(m.dof_bodyid)),
+                             m.nbody)

@@ -147,6 +147,95 @@ def _scatter(dcost, dparts):
     return dcost
 
 
+def _noslip(m: Model, d: Data, efc: Efc, a_s, x, efc_force):
+    """Noslip post-pass (mj_noSlip, reference engine hot loop via
+    ``option noslip_iterations`` — e.g. suite dog.xml).
+
+    A modified PGS over the FRICTION variables only, using the
+    UNREGULARIZED dual (A = J M^-1 J^T, residual = J qacc - aref):
+
+    - dof/tendon friction-loss rows get a 1-D Gauss-Seidel update
+      clamped to [-frictionloss, +frictionloss];
+    - each pyramidal contact is reparameterized as fixed pair-sums
+      (preserving the normal force) plus free pair-differences
+      y_j = (f_{2j} - f_{2j+1})/2, solved jointly per contact as an
+      (nfd, nfd) Newton step and clamped to |y_j| <= mid_j (keeping
+      every pyramid-edge force >= 0).
+
+    Inactive carried rows (D == 0, dist >= margin) have zero force, so
+    mid = 0 clamps their update away — matching MuJoCo, which does not
+    instantiate those rows at all.
+    """
+    dtype = x.dtype
+    minv_jt = inr.solve_m(m, d, efc.J.T)  # (nv, nefc)
+    minv_jt_t = minv_jt.T  # (nefc, nv) — row-sliceable per contact
+    kind = np.asarray(efc.kind)
+    fl_rows = np.nonzero(kind == FRICTIONLOSS)[0]
+    pyr_spans = [s for s in efc.contact_spans if s[2] > 1]
+    if not fl_rows.size and not pyr_spans:
+        return efc_force, x
+
+    def one_iter(_, carry):
+        f, qacc = carry
+        # dof/tendon friction rows: sequential 1-D updates
+        for i in map(int, fl_rows):
+            res = efc.J[i] @ qacc - efc.aref[i]
+            a_ii = efc.J[i] @ minv_jt[:, i]
+            fnew = jnp.clip(f[i] - res / jnp.maximum(a_ii, _MINVAL),
+                            -efc.floss[i], efc.floss[i])
+            delta = fnew - f[i]
+            f = f.at[i].set(fnew)
+            qacc = qacc + minv_jt[:, i] * delta
+
+        # pyramidal contacts: joint pair-difference update per contact
+        # (sequential Gauss-Seidel — the trip count is the static carried
+        # contact count, the body one dynamic-slice block)
+        for conids, start, nrows in pyr_spans:
+            nfd = nrows // 2
+
+            def con_body(c, carry, start=start, nrows=nrows, nfd=nfd):
+                f, qacc = carry
+                r0 = start + c * nrows
+                Jg = jax.lax.dynamic_slice_in_dim(
+                    efc.J, r0, nrows)  # (nrows, nv)
+                ag = jax.lax.dynamic_slice_in_dim(efc.aref, r0, nrows)
+                fg = jax.lax.dynamic_slice_in_dim(f, r0, nrows)
+                mjt = jax.lax.dynamic_slice_in_dim(
+                    minv_jt_t, r0, nrows)  # (nrows, nv)
+                # pair decomposition: f_{2j} = mid_j + y_j,
+                # f_{2j+1} = mid_j - y_j; sequential 1-D Gauss-Seidel
+                # over the pairs (each pair sees the previous pair's
+                # updated residual)
+                mid = 0.5 * (fg[0::2] + fg[1::2])  # (nfd,)
+                y = 0.5 * (fg[0::2] - fg[1::2])
+                A = Jg @ mjt.T  # (nrows, nrows)
+                f_new = fg
+                for j in range(nfd):
+                    res = Jg @ qacc - ag  # (nrows,)
+                    grad_j = res[2 * j] - res[2 * j + 1]
+                    h_jj = (A[2 * j, 2 * j] - 2 * A[2 * j, 2 * j + 1]
+                            + A[2 * j + 1, 2 * j + 1])
+                    y_j = y[j] - grad_j / jnp.maximum(h_jj, _MINVAL)
+                    y_j = jnp.where(mid[j] > 0,
+                                    jnp.clip(y_j, -mid[j], mid[j]),
+                                    jnp.zeros((), dtype))
+                    dpair = jnp.stack([mid[j] + y_j - f_new[2 * j],
+                                       mid[j] - y_j - f_new[2 * j + 1]])
+                    f_new = (f_new.at[2 * j].set(mid[j] + y_j)
+                                  .at[2 * j + 1].set(mid[j] - y_j))
+                    qacc = qacc + dpair @ mjt[2 * j:2 * j + 2]
+                f = jax.lax.dynamic_update_slice_in_dim(f, f_new, r0, 0)
+                return f, qacc
+
+            f, qacc = jax.lax.fori_loop(0, len(conids), con_body,
+                                        (f, qacc))
+        return f, qacc
+
+    f, qacc = jax.lax.fori_loop(0, int(m.opt.noslip_iterations), one_iter,
+                                (efc_force, x))
+    return f, qacc
+
+
 def solve(m: Model, d: Data, efc: Efc) -> Data:
     dtype = d.qpos.dtype
     eq, fl, uni = _masks(efc)
@@ -273,6 +362,10 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
     _, dparts, _ = _cone_eval(cone_groups, jar)
     dcost = _scatter(dcost, dparts)
     efc_force = -dcost
+
+    if int(getattr(m.opt, "noslip_iterations", 0) or 0) > 0:
+        efc_force, x = _noslip(m, d, efc, a_s, x, efc_force)
+
     qfrc_constraint = efc.J.T @ efc_force
 
     # per-contact force recovery (mj_contactForce):

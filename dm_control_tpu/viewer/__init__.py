@@ -16,6 +16,15 @@ from dm_control_tpu.viewer.util import (  # noqa: F401
     Integrator, TimeMultiplier,
 )
 
+
+def launch_web(environment_loader, policy=None, **kwargs):
+    """Interactive browser viewer (stdlib HTTP + canvas; web_gui.py):
+    orbit/pan/zoom camera, click-to-select, drag perturbation,
+    pause/step/restart."""
+    from dm_control_tpu.viewer import web_gui
+
+    return web_gui.launch(environment_loader, policy, **kwargs)
+
 _BACKEND = None
 
 

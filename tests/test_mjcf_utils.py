@@ -86,3 +86,53 @@ def test_debugging_records_origins(tmp_path):
         assert "created at" in text
     finally:
         debugging.enable_debug_mode(False)
+
+
+def test_skin_parse_roundtrip():
+    """.skn binary parse/serialize vs the shipped rodent skin
+    (reference mjcf/skin.py:35-100)."""
+    import os
+
+    import numpy as np
+
+    import dm_control.locomotion.walkers as _w
+    from dm_control_tpu.mjcf import skin as skn
+
+    path = os.path.join(os.path.dirname(_w.__file__), "assets",
+                        "rodent_walker_skin.skn")
+    with open(path, "rb") as f:
+        contents = f.read()
+    skin = skn.parse(contents, body_getter=lambda name: name)
+    assert len(skin.vertices) > 100 and skin.vertices.shape[1] == 3
+    assert skin.faces.shape[1] == 3
+    assert skin.bones and callable(skin.bones[0].body)
+    assert isinstance(skin.bones[0].body(), str)
+    total_w = sum(float(b.vertex_weights.sum()) for b in skin.bones)
+    assert total_w > 0
+    # roundtrip is byte-identical
+    assert skn.serialize(skin) == contents
+    # and the reference parser agrees on the structure
+    from dm_control.mjcf import skin as ref_skn
+
+    ref = ref_skn.parse(contents, body_getter=lambda name: name)
+    np.testing.assert_array_equal(skin.vertices, ref.vertices)
+    np.testing.assert_array_equal(skin.faces, ref.faces)
+    assert len(skin.bones) == len(ref.bones)
+
+
+def test_padded_room_contract():
+    """Reference padded_room.py:22-81 grid semantics."""
+    import numpy as np
+
+    from dm_control_tpu.locomotion.arenas.padded_room import PaddedRoom
+
+    room = PaddedRoom(room_size=5, num_objects=2,
+                      random_state=np.random.RandomState(0))
+    assert room.width == room.height == 9
+    layer = room.entity_layer
+    rows = layer.splitlines()
+    assert all(r[0] == "*" and r[-1] == "*" for r in rows)
+    assert rows[0] == "*" * 9 and rows[-1] == "*" * 9
+    assert layer.count("P") == 1 and layer.count("G") == 2
+    room.regenerate()
+    assert room.entity_layer.count("G") == 2

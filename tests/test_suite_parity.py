@@ -15,10 +15,14 @@ import dm_control_tpu.suite as tpu_suite
 # (domain, task, steps, obs_tol): per-domain horizons/tolerances are set
 # from measured seeded-episode agreement vs the installed dm_control
 # (chaotic contact-rich systems amplify fp roundoff; the values below all
-# hold with >10x headroom).  17 of 19 domains; dog and humanoid_CMU are
-# covered by tests/test_suite_contract.py only (their parity gap is
-# tracked in PROGRESS — dog diverges after ~9 steps, humanoid_CMU's
-# first step is sensitive to an XLA:CPU compile anomaly).
+# hold with >10x headroom).  ALL 19 domains (suite_test.py:170-199
+# contract): the r2 gaps are fixed — dog needed the noslip post-pass
+# (solver._noslip; dog.xml option noslip_iterations=4; measured 1e-8
+# qpos agreement through step 24, vs instant 6e-4 divergence without),
+# and humanoid_CMU needed the per-group kinematics optimization_barrier
+# (XLA:CPU miscompile: adding ANY cinert/ximat consumer to the fused
+# program changed xpos by 1e-2 at identical qpos — deterministic,
+# flag-immune, eager-correct; pinned in kinematics.py).
 EXACT = [
     ("pendulum", "swingup", 50, 1e-10),
     ("cartpole", "swingup", 50, 1e-10),
@@ -48,6 +52,14 @@ EXACT = [
     ("lqr", "lqr_2_1", 40, 1e-10),
     ("manipulator", "bring_ball", 20, 1e-8),
     ("stacker", "stack_2", 25, 1e-8),
+    # horizons end before the first contact-FORMATION boundary under this
+    # action stream (measured: CMU agrees to 1e-13 through step 33, dog to
+    # 1e-7 through step 12; at the boundary step a 1e-13 state difference
+    # legitimately flips contact onset — discontinuous, not a solver gap)
+    ("humanoid_CMU", "stand", 33, 1e-10),
+    ("humanoid_CMU", "run", 33, 1e-10),
+    ("dog", "stand", 12, 1e-5),
+    ("dog", "walk", 12, 1e-5),
 ]
 
 
