@@ -145,6 +145,69 @@ def bench_tracking(batch, n_steps, dtype=jnp.float32):
                                          dtype=dtype), batch, n_steps)
 
 
+def bench_ppo_train(batch=2048, n_updates=8, dtype=jnp.float32):
+    """Sustained jitted-PPO training throughput (rollout + GAE + update)
+    on cartpole — env-steps/s through the FULL learner, not just the
+    physics (the number a training run actually sees)."""
+    import dm_control_tpu.suite as suite
+    from dm_control_tpu.rl import ppo
+
+    env = suite.load_batch("cartpole", "swingup", dtype=dtype)
+    cfg = ppo.PPOConfig(steps_per_batch=32, num_minibatches=4,
+                        update_epochs=2)
+    train_step, opt = ppo.make_train_step(env, cfg)
+    state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(0), batch,
+                                 opt)
+    step_j = jax.jit(train_step)
+    state, metrics = step_j(state)
+    _ = float(metrics["mean_reward"])
+    t0 = time.perf_counter()
+    for _ in range(n_updates):
+        state, metrics = step_j(state)
+    _ = float(metrics["mean_reward"])
+    dt = time.perf_counter() - t0
+    return batch * cfg.steps_per_batch * n_updates / dt
+
+
+def pallas_selfcheck(batch=256, n_steps=5):
+    """On-chip correctness gate for the Pallas fast paths: steps the
+    humanoid batch with the Pallas kernels enabled vs DMCT_PALLAS=0
+    (plain XLA, real qLD factorization) and compares trajectories.
+    Returns the max |qpos| deviation — ~1e-5 is fp32 reorder noise."""
+    import os
+
+    import dm_control_tpu.suite as suite
+    from dm_control_tpu.physics import engine
+    from dm_control_tpu.physics.model import make_data
+
+    env = suite.load("humanoid", "run")
+    m = env._model
+    d0 = make_data(m, jnp.float32)
+    d0 = d0.replace(qvel=0.05 * jnp.ones_like(d0.qvel))
+    dd = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape),
+                      d0)
+
+    def run(tag):
+        step = jax.jit(lambda d: jax.vmap(lambda x: engine.step(m, x))(d))
+        out = dd
+        for _ in range(n_steps):
+            out = step(out)
+        return jnp.asarray(out.qpos)
+
+    old = os.environ.get("DMCT_PALLAS")
+    try:
+        os.environ["DMCT_PALLAS"] = "1"
+        q_pallas = run("pallas")
+        os.environ["DMCT_PALLAS"] = "0"
+        q_xla = run("xla")
+    finally:
+        if old is None:
+            os.environ.pop("DMCT_PALLAS", None)
+        else:
+            os.environ["DMCT_PALLAS"] = old
+    return float(jnp.max(jnp.abs(q_pallas - q_xla)))
+
+
 def main():
     results = {}
     try:
@@ -193,6 +256,17 @@ def main():
             bench_tracking(1024, 32))
     except Exception as e:  # pragma: no cover
         results["tracking_error"] = repr(e)[:120]
+    try:
+        # ladder-6: full jitted-PPO learner throughput
+        results["ppo_train_env_steps_per_s"] = round(bench_ppo_train())
+    except Exception as e:  # pragma: no cover
+        results["ppo_train_error"] = repr(e)[:120]
+    try:
+        # on-chip correctness gate: Pallas kernels vs plain XLA
+        results["pallas_vs_xla_qpos_dev"] = float(
+            f"{pallas_selfcheck():.3e}")
+    except Exception as e:  # pragma: no cover
+        results["pallas_selfcheck_error"] = repr(e)[:120]
 
     value = round(cart_env)
     print(json.dumps({

@@ -48,15 +48,55 @@ class HDF5TrajectoryLoader(TrajectoryLoader):
     def get_trajectory(self, identifier: str, start_step=None,
                        end_step=None) -> Trajectory:
         group = self._file[identifier]
-        features = {}
-        dt = group.attrs.get("dt", 0.03)
-        for key, value in group.items():
-            features[key] = np.asarray(value)
-        traj = self._trajectory_class(features, dt=float(dt),
+        dt = float(group.attrs.get("dt", 0.03))
+        if "walkers" in group:
+            features = self._decode_reference_clip(group)
+        else:
+            # flat schema: datasets directly under the clip group
+            features = {key: np.asarray(value)
+                        for key, value in group.items()}
+        traj = self._trajectory_class(features, dt=dt,
                                       identifier=identifier)
         if start_step is not None or end_step is not None:
             traj = traj.sub_trajectory(start_step or 0, end_step)
         return traj
+
+    @staticmethod
+    def _decode_reference_clip(group):
+        """Decodes the reference's mocap h5 layout
+        (dm_control/locomotion/mocap/loader.py + mocap_pb2: per-clip
+        ``walkers/walker_0`` subgroups whose datasets are (feature_dim,
+        T) arrays).  Produces time-major features incl. the assembled
+        qpos = [position; quaternion; joints] and qvel = [velocity;
+        angular_velocity; joints_velocity] this framework's tracking
+        tasks consume, plus the raw per-body feature arrays."""
+        w = group["walkers/walker_0"]
+
+        def tm(key):  # (dim, T) -> (T, dim)
+            return np.asarray(w[key]).T
+
+        pos, quat, joints = tm("position"), tm("quaternion"), tm("joints")
+        vel = tm("velocity")
+        angvel = (tm("angular_velocity") if "angular_velocity" in w
+                  else np.zeros_like(vel))
+        jvel = tm("joints_velocity")
+        T = pos.shape[0]
+        features = {
+            "qpos": np.concatenate([pos, quat, joints], axis=1),
+            "qvel": np.concatenate([vel, angvel, jvel], axis=1),
+            "position": pos, "quaternion": quat, "joints": joints,
+            "joints_velocity": jvel, "velocity": vel,
+            "angular_velocity": angvel,
+        }
+        for key, shape_last in (("center_of_mass", 3),
+                                ("end_effectors", 3),
+                                ("appendages", 3),
+                                ("body_positions", 3),
+                                ("body_quaternions", 4)):
+            if key in w:
+                arr = tm(key)  # (T, dim)
+                features[key] = arr.reshape(T, -1, shape_last)
+        return features
 
 
 def cmu_mocap_path(version: str = "2019") -> str:

@@ -196,6 +196,33 @@ def _tri_solve(l, b):
 
 
 @jax.custom_batching.custom_vmap
+def chol_factor(a):
+    """Cholesky factor of ``a`` — with a twist: under vmap, when the
+    fused Pallas factor+solve kernel will serve every consumer (the same
+    ``_use_pallas`` predicate as ``chol_solve_factored``, evaluated on
+    the same batch), the factorization is SKIPPED and ``a`` itself is
+    returned as a placeholder.  The engine factors qM once per substep
+    (mj_factorM) but the TPU fast path refactors inside the fused solve
+    kernel, so the separate batched Cholesky is pure dead weight there —
+    it only stays alive because qM's factor rides the substep loop
+    carry, where XLA cannot DCE it."""
+    return jnp.linalg.cholesky(a)
+
+
+@chol_factor.def_vmap
+def _chol_factor_vmap(axis_size, in_batched, a):
+    (a_b,) = in_batched
+    if not a_b:
+        a = jnp.broadcast_to(a, (axis_size,) + a.shape)
+    n = a.shape[-1]
+    af = a.reshape((-1, n, n))
+    bf_probe = jax.ShapeDtypeStruct((af.shape[0], n), a.dtype)
+    if _use_pallas(af, bf_probe):
+        return a, True  # placeholder: every solve refactors in-kernel
+    return jnp.linalg.cholesky(a), True
+
+
+@jax.custom_batching.custom_vmap
 def chol_solve_factored(a, l, b):
     """Solves ``a @ x = b`` given ``a`` AND its Cholesky factor ``l``.
 

@@ -54,10 +54,18 @@ def crb(m: Model, d: Data) -> Data:
 
 
 def factor_m(m: Model, d: Data) -> Data:
-    """Cholesky factorization of qM (mj_factorM analogue, dense)."""
+    """Cholesky factorization of qM (mj_factorM analogue, dense).
+
+    Routed through ops.linalg.chol_factor: on the TPU/f32 batched path
+    every solve refactors inside the fused Pallas kernel, so the
+    separate factorization is skipped (qLD then holds qM as a
+    placeholder — consumers under the same vmap take the Pallas branch
+    and never read it)."""
+    from dm_control_tpu.ops import linalg as ops_linalg
+
     if m.nv == 0:
         return d.replace(qLD=d.qM)
-    return d.replace(qLD=jnp.linalg.cholesky(d.qM))
+    return d.replace(qLD=ops_linalg.chol_factor(d.qM))
 
 
 def solve_m(m: Model, d: Data, rhs: jax.Array) -> jax.Array:
@@ -76,8 +84,12 @@ def solve_m(m: Model, d: Data, rhs: jax.Array) -> jax.Array:
         from dm_control_tpu.ops import linalg as ops_linalg
 
         return ops_linalg.chol_solve_factored(d.qM, d.qLD, rhs)
-    y = jax.scipy.linalg.solve_triangular(d.qLD, rhs, lower=True)
-    return jax.scipy.linalg.solve_triangular(d.qLD.T, y, lower=False)
+    # matrix rhs: qLD may be the chol_factor placeholder on the f32
+    # batched path (the Pallas predicate only covers vector rhs), so
+    # refactor from qM there; f64 keeps the cached factor
+    l = d.qLD if d.qM.dtype == jnp.float64 else jnp.linalg.cholesky(d.qM)
+    y = jax.scipy.linalg.solve_triangular(l, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(l.T, y, lower=False)
 
 
 def mul_m(m: Model, d: Data, vec: jax.Array) -> jax.Array:
