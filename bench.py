@@ -208,67 +208,92 @@ def pallas_selfcheck(batch=256, n_steps=5):
     return float(jnp.max(jnp.abs(q_pallas - q_xla)))
 
 
-def main():
-    results = {}
-    try:
-        cart_env, cart_phys = bench_env("cartpole", "swingup", 8192, 128)
-        results["cartpole_env_steps_per_s"] = round(cart_env)
-    except Exception as e:  # pragma: no cover
-        results["cartpole_error"] = repr(e)[:120]
-        cart_env = 0.0
-    try:
-        # ladder-2: contact-rich planar locomotion on the fused fast path
-        chee_env, chee_phys = bench_env("cheetah", "run", 4096, 32)
-        results["cheetah_env_steps_per_s"] = round(chee_env)
-        results["cheetah_physics_steps_per_s"] = round(chee_phys)
-    except Exception as e:  # pragma: no cover
-        results["cheetah_error"] = repr(e)[:120]
-    try:
-        # ladder-3: flagship 21-DoF contact-rich humanoid (vectorized
-        # grouped collision/constraint assembly keeps the graph compact)
-        hum_env, hum_phys = bench_env("humanoid", "run", 1024, 32)
-        results["humanoid_env_steps_per_s"] = round(hum_env)
-        results["humanoid_physics_steps_per_s"] = round(hum_phys)
-    except Exception as e:  # pragma: no cover
-        results["humanoid_error"] = repr(e)[:120]
-    try:
-        # ladder-3b: quadruped:walk (ellipsoid feet, torque sensors)
-        quad_env, quad_phys = bench_env("quadruped", "walk", 1024, 32)
-        results["quadruped_env_steps_per_s"] = round(quad_env)
-    except Exception as e:  # pragma: no cover
-        results["quadruped_error"] = repr(e)[:120]
-    try:
-        # ladder-4: composer manipulation task on the batched path
-        # (composer.batch.compile_task lowering)
-        man_env, _ = bench_manipulation("reach_site_features", 1024, 32)
-        results["manipulation_reach_env_steps_per_s"] = round(man_env)
-    except Exception as e:  # pragma: no cover
-        results["manipulation_error"] = repr(e)[:120]
-    try:
-        # ladder-5a: 2v2 soccer (multi-agent rewards, goal autoreset)
-        results["soccer_2v2_env_steps_per_s"] = round(
-            bench_soccer(512, 32))
-    except Exception as e:  # pragma: no cover
-        results["soccer_error"] = repr(e)[:120]
-    try:
-        # ladder-5b: multi-clip mocap tracking (comic reward)
-        results["tracking_env_steps_per_s"] = round(
-            bench_tracking(1024, 32))
-    except Exception as e:  # pragma: no cover
-        results["tracking_error"] = repr(e)[:120]
-    try:
-        # ladder-6: full jitted-PPO learner throughput
-        results["ppo_train_env_steps_per_s"] = round(bench_ppo_train())
-    except Exception as e:  # pragma: no cover
-        results["ppo_train_error"] = repr(e)[:120]
-    try:
-        # on-chip correctness gate: Pallas kernels vs plain XLA
-        results["pallas_vs_xla_qpos_dev"] = float(
-            f"{pallas_selfcheck():.3e}")
-    except Exception as e:  # pragma: no cover
-        results["pallas_selfcheck_error"] = repr(e)[:120]
+# -- rung registry ------------------------------------------------------------
+# Each rung runs in its OWN subprocess (see main) so a pathological cold
+# compile on one model can never sink the whole bench: the orchestrator
+# enforces per-rung timeouts, a global budget, and emits the final JSON
+# line even if it is SIGTERMed by an outer `timeout`.  Order = importance
+# (the headline rung first; the heaviest cold compiles last).
 
-    value = round(cart_env)
+def _rung_cartpole():
+    env_sps, _ = bench_env("cartpole", "swingup", 8192, 128)
+    return {"cartpole_env_steps_per_s": round(env_sps)}
+
+
+def _rung_humanoid():
+    # ladder-3: flagship 21-DoF contact-rich humanoid
+    env_sps, phys_sps = bench_env("humanoid", "run", 1024, 32)
+    return {"humanoid_env_steps_per_s": round(env_sps),
+            "humanoid_physics_steps_per_s": round(phys_sps)}
+
+
+def _rung_quadruped():
+    # ladder-3b: quadruped:walk (ellipsoid feet, torque sensors)
+    env_sps, _ = bench_env("quadruped", "walk", 1024, 32)
+    return {"quadruped_env_steps_per_s": round(env_sps)}
+
+
+def _rung_manipulation():
+    # ladder-4: composer manipulation task on the batched path
+    env_sps, _ = bench_manipulation("reach_site_features", 1024, 32)
+    return {"manipulation_reach_env_steps_per_s": round(env_sps)}
+
+
+def _rung_soccer():
+    # ladder-5a: 2v2 soccer (multi-agent rewards, goal autoreset)
+    return {"soccer_2v2_env_steps_per_s": round(bench_soccer(512, 32))}
+
+
+def _rung_tracking():
+    # ladder-5b: multi-clip mocap tracking (comic reward)
+    return {"tracking_env_steps_per_s": round(bench_tracking(1024, 32))}
+
+
+def _rung_ppo():
+    # ladder-6: full jitted-PPO learner throughput
+    return {"ppo_train_env_steps_per_s": round(bench_ppo_train())}
+
+
+def _rung_pallas():
+    # on-chip correctness gate: Pallas kernels vs plain XLA
+    return {"pallas_vs_xla_qpos_dev": float(f"{pallas_selfcheck():.3e}")}
+
+
+def _rung_cheetah():
+    # ladder-2: contact-rich planar locomotion on the fused fast path.
+    # LAST: its fused scalar graph is by far the largest cold compile.
+    env_sps, phys_sps = bench_env("cheetah", "run", 4096, 32)
+    return {"cheetah_env_steps_per_s": round(env_sps),
+            "cheetah_physics_steps_per_s": round(phys_sps)}
+
+
+_RUNGS = [
+    # (name, fn, per-rung timeout seconds)
+    ("cartpole", _rung_cartpole, 900),
+    ("humanoid", _rung_humanoid, 1200),
+    ("quadruped", _rung_quadruped, 1200),
+    ("manipulation", _rung_manipulation, 900),
+    ("soccer", _rung_soccer, 900),
+    ("tracking", _rung_tracking, 900),
+    ("ppo_train", _rung_ppo, 900),
+    ("pallas_selfcheck", _rung_pallas, 900),
+    ("cheetah", _rung_cheetah, 2400),
+]
+_MARK = "RUNG_RESULT:"
+
+
+def _run_rung(name):
+    """Child-process entry: run one rung, print its result dict."""
+    fn = dict((n, f) for n, f, _ in _RUNGS)[name]
+    try:
+        out = fn()
+    except Exception as e:  # pragma: no cover
+        out = {name + "_error": repr(e)[:160]}
+    print(_MARK + json.dumps(out), flush=True)
+
+
+def _emit(results):
+    value = results.get("cartpole_env_steps_per_s", 0)
     print(json.dumps({
         "metric": "aggregate env-steps/s, cartpole:swingup batch 8192, "
                   "1 chip",
@@ -276,8 +301,63 @@ def main():
         "unit": "env-steps/s",
         "vs_baseline": round(value / 1_000_000, 3),
         **results,
-    }))
+    }), flush=True)
+
+
+def main():
+    import signal
+    import subprocess
+    import sys
+
+    budget = float(os.environ.get("DMCT_BENCH_BUDGET_S", "1500"))
+    deadline = time.monotonic() + budget
+    results = {}
+    state = {"child": None}
+
+    def _bail(signum, frame):  # outer `timeout` sent SIGTERM: emit + exit 0
+        child = state["child"]
+        if child is not None and child.poll() is None:
+            child.kill()
+        results.setdefault("bench_note", "interrupted by signal "
+                           f"{signum}; partial results")
+        _emit(results)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _bail)
+    signal.signal(signal.SIGINT, _bail)
+
+    for name, _fn, cap in _RUNGS:
+        left = deadline - time.monotonic()
+        if left < 30:
+            results.setdefault("bench_note",
+                               f"budget {budget:.0f}s exhausted at {name}")
+            break
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--rung", name],
+            stdout=subprocess.PIPE, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        state["child"] = child
+        try:
+            out, _ = child.communicate(timeout=min(cap, left))
+        except subprocess.TimeoutExpired:
+            child.kill()
+            child.communicate()
+            results[name + "_error"] = f"timeout after {min(cap, left):.0f}s"
+            continue
+        finally:
+            state["child"] = None
+        got = [l for l in out.splitlines() if l.startswith(_MARK)]
+        if got:
+            results.update(json.loads(got[-1][len(_MARK):]))
+        else:
+            results[name + "_error"] = f"no result (rc={child.returncode})"
+    _emit(results)
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) == 3 and sys.argv[1] == "--rung":
+        _run_rung(sys.argv[2])
+    else:
+        main()
