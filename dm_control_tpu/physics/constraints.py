@@ -57,6 +57,15 @@ class Efc:
     # torsion, rolls) handled jointly by the solver's cone cost
     cone_spans: Tuple[Tuple[Tuple[int, ...], int, int], ...] = \
         static_field(default=())
+    # Contact-compaction bookkeeping (opt.contact_cap > 0, f32 path):
+    # sel_spans are (sel_offset, first_row, rows_per_contact, k) for
+    # groups whose contacts were top-k selected per environment;
+    # contact_selids[sel_offset:sel_offset+k] holds the selected
+    # candidate indices (traced — selection is state-dependent), used to
+    # scatter recovered forces back to the full candidate arrays.
+    sel_spans: Tuple[Tuple[int, int, int, int], ...] = \
+        static_field(default=())
+    contact_selids: jax.Array = None
 
     @property
     def nefc(self) -> int:
@@ -160,7 +169,8 @@ class _Blocks:
                                                 (r,))))
         self.kinds.extend([kind] * r)
 
-    def build(self, contact_spans, cone_spans=()) -> Efc:
+    def build(self, contact_spans, cone_spans=(), sel_spans=(),
+              contact_selids=None) -> Efc:
         m, dtype = self.m, self.dtype
         if not self.kinds:
             z = jnp.zeros((0,), dtype)
@@ -194,7 +204,8 @@ class _Blocks:
             floss = jnp.concatenate([floss, zf])
         return Efc(J=J, D=d_vec, R=r_reg, aref=aref, pos=pos, floss=floss,
                    kind=tuple(self.kinds), contact_spans=contact_spans,
-                   cone_spans=cone_spans)
+                   cone_spans=cone_spans, sel_spans=sel_spans,
+                   contact_selids=contact_selids)
 
 
 def make_constraint(m: Model, d: Data) -> Efc:
@@ -203,6 +214,8 @@ def make_constraint(m: Model, d: Data) -> Efc:
     dis = m.opt.disableflags
     contact_spans: Tuple = ()
     cone_spans: Tuple = ()
+    sel_spans: Tuple = ()
+    selids = None
     if not (dis & DisableBit.CONSTRAINT):
         if not (dis & DisableBit.EQUALITY):
             _equality_rows(m, d, blocks)
@@ -211,8 +224,15 @@ def make_constraint(m: Model, d: Data) -> Efc:
         if not (dis & DisableBit.LIMIT):
             _limit_rows(m, d, blocks)
         if not (dis & DisableBit.CONTACT):
-            contact_spans, cone_spans = _contact_rows(m, d, blocks)
-    return blocks.build(contact_spans, cone_spans)
+            cap = int(getattr(m.opt, "contact_cap", 0) or 0)
+            if (cap > 0 and dtype == jnp.float32
+                    and int(m.opt.cone) != 1
+                    and int(getattr(m.opt, "noslip_iterations", 0)) == 0
+                    and len(d.contact.dim) > cap):
+                sel_spans, selids = _contact_rows_compact(m, d, blocks, cap)
+            else:
+                contact_spans, cone_spans = _contact_rows(m, d, blocks)
+    return blocks.build(contact_spans, cone_spans, sel_spans, selids)
 
 
 # ---------------------------------------------------------------------------
@@ -490,3 +510,96 @@ def _contact_rows(m: Model, d: Data, blocks: _Blocks):
             spans.append((tuple(int(c) for c in idx), row_base, nrows))
         row_base += k * nrows
     return tuple(spans), tuple(cone_spans)
+
+
+def _contact_rows_compact(m: Model, d: Data, blocks: _Blocks, cap: int):
+    """Contact rows with per-environment top-k depth selection.
+
+    The f32 throughput variant of ``_contact_rows`` (opt.contact_cap):
+    within each condim group only the ``cap`` deepest candidates enter
+    the constraint system, so solver row count tracks the number of
+    contacts that can PLAUSIBLY be active rather than the number of
+    pairs the static broadphase admits.  Selection indices are traced
+    data; jacobians are built through the dynamic-bodyid path of
+    kin.jac_points.  Returns (sel_spans, contact_selids) for force
+    scatter-back; the candidate arrays in d.contact keep their full
+    static size (observations/sensors are unaffected).
+
+    The reference reaches the same end state through mjData's dynamic
+    ncon (dm_control/mujoco/engine.py:161-166 steps native mj_step,
+    which only instantiates touching contacts); a fixed top-k is the
+    static-shape equivalent.
+    """
+    con = d.contact
+    dtype = blocks.dtype
+    pos_eff_all = con.dist - con.includemargin
+    geom_body = jnp.asarray(m.geom_bodyid, jnp.int32)
+    g1_all = jnp.asarray(con.geom1, jnp.int32)
+    g2_all = jnp.asarray(con.geom2, jnp.int32)
+    dims = np.array(con.dim)
+
+    sel_spans = []
+    sel_parts = []
+    sel_off = 0
+    row_base = len(blocks.kinds)
+    for condim in sorted(set(con.dim)):
+        idx = np.nonzero(dims == condim)[0]
+        k = int(idx.size)
+        kk = min(k, cap)
+        if kk < k:
+            gi = jnp.asarray(idx)
+            # deepest first; inactive rows past the active count are
+            # carried with D = 0 exactly like the uncompacted path
+            _, sel = jax.lax.top_k(-pos_eff_all[gi], kk)
+            gsel = gi[sel]
+        else:
+            gsel = jnp.asarray(idx)
+        b1 = geom_body[g1_all[gsel]]
+        b2 = geom_body[g2_all[gsel]]
+        posk = con.pos[gsel]
+        jac1p, jac1r = kin.jac_points(m, d, posk, b1)
+        jac2p, jac2r = kin.jac_points(m, d, posk, b2)
+        jdp = jac2p - jac1p  # (kk, 3, nv)
+        frame = con.frame[gsel]
+        jn = jnp.einsum("ki,kiv->kv", frame[:, 0, :], jdp)
+        pe = pos_eff_all[gsel]
+        inv = (m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0])
+        solref = con.solref[gsel]
+        solimp = con.solimp[gsel]
+        if condim == 1:
+            nrows = 1
+            blocks.add(jn, pe, solref, solimp, inv,
+                       jnp.einsum("kv,v->k", jn, d.qvel), LIMIT,
+                       active=pe < 0)
+        else:
+            mu = con.friction[gsel]  # (kk, 5)
+            mu0 = mu[:, 0]
+            inv_pyr = ((inv + mu0 * mu0 * inv) * 2.0 * mu0 * mu0
+                       / m.opt.impratio)
+            nfd = condim - 1
+            if nfd > 2:
+                jdr = jac2r - jac1r
+            # friction axis order matches the uncompacted jt list:
+            # t1·jdp, t2·jdp, n·jdr, t1·jdr, t2·jdr
+            rows = []
+            for i in range(nfd):
+                if i < 2:
+                    ti = jnp.einsum("ki,kiv->kv", frame[:, 1 + i, :], jdp)
+                else:
+                    ti = jnp.einsum("ki,kiv->kv", frame[:, i - 2, :], jdr)
+                mu_i = mu[:, i]
+                rows.append(jn + mu_i[:, None] * ti)
+                rows.append(jn - mu_i[:, None] * ti)
+            J = jnp.stack(rows, axis=1).reshape(kk * 2 * nfd, m.nv)
+            nrows = 2 * nfd
+            rep = lambda x: jnp.repeat(x, nrows, axis=0)
+            blocks.add(J, rep(pe), rep(solref), rep(solimp), rep(inv_pyr),
+                       jnp.einsum("kv,v->k", J, d.qvel), LIMIT,
+                       active=rep(pe) < 0)
+        sel_spans.append((sel_off, row_base, nrows, kk))
+        sel_parts.append(jnp.asarray(gsel, jnp.int32))
+        sel_off += kk
+        row_base += kk * nrows
+    selids = (jnp.concatenate(sel_parts) if sel_parts
+              else jnp.zeros((0,), jnp.int32))
+    return tuple(sel_spans), selids

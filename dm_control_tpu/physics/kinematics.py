@@ -194,8 +194,26 @@ def com_pos(m: Model, d: Data) -> Data:
 
 
 def com_vel(m: Model, d: Data) -> Data:
-    """mj_comVel: body spatial velocities and cdof time-derivatives."""
+    """mj_comVel: body spatial velocities and cdof time-derivatives.
+
+    f32 throughput path: the per-body sequential sweep is replaced by two
+    static-mask matmuls — cvel[b] = sum of cdof_j qvel_j over b's chain
+    dofs, and cdof_dot[k] = vel_before(k) x cdof[k] where vel_before(k)
+    (the partial velocity MuJoCo has accumulated when it reaches dof k)
+    is a strictly-before dof mask product.  The f64 parity path keeps
+    MuJoCo's accumulation order bit-for-bit.
+    """
     dtype = d.qpos.dtype
+    if dtype == jnp.float32 and m.nbody > 4 and m.nv:
+        from dm_control_tpu.physics.model import dof_before_mask
+
+        per_dof = d.cdof * d.qvel[:, None]  # (nv, 6)
+        cvel = jnp.asarray(m.body_chain_mask, dtype) @ per_dof
+        before, rotflag = dof_before_mask(m)
+        vel_before = jnp.asarray(before, dtype) @ per_dof  # (nv, 6)
+        cdof_dot = mx.motion_cross(vel_before, d.cdof) \
+            * jnp.asarray(rotflag, dtype)[:, None]
+        return d.replace(cvel=cvel, cdof_dot=cdof_dot)
     cvel = [jnp.zeros(6, dtype)]
     cdof_dot = [None] * m.nv
     for i in range(1, m.nbody):
@@ -271,14 +289,20 @@ def jac_points(m: Model, d: Data, points, bodyids):
     """Vectorized mj_jac over K points: returns (jacp, jacr), each
     (K, 3, nv).
 
-    ``bodyids`` is a static tuple; chain masking uses the precomputed
-    body_chain_mask so the whole computation is a handful of batched ops
-    instead of K unrolled jacobian builds.
+    ``bodyids`` is a static tuple (or a traced int array — used by the
+    contact-compaction path, where WHICH bodies collide is decided per
+    environment by top-k depth selection); chain masking uses the
+    precomputed body_chain_mask so the whole computation is a handful of
+    batched ops instead of K unrolled jacobian builds.
     """
-    bid = jnp.array(bodyids, jnp.int32)
-    root = jnp.array([m.body_rootid[b] for b in bodyids], jnp.int32)
-    com = d.subtree_com[root]  # (K, 3)
+    if isinstance(bodyids, (tuple, list)):
+        bid = jnp.array(bodyids, jnp.int32)
+        root = jnp.array([m.body_rootid[b] for b in bodyids], jnp.int32)
+    else:
+        bid = bodyids
+        root = jnp.asarray(m.body_rootid, jnp.int32)[bid]
     mask = m.body_chain_mask[bid]  # (K, nv)
+    com = d.subtree_com[root]  # (K, 3)
     offset = points[:, None, :] - com[:, None, :]  # (K, 1, 3)
     ang = d.cdof[None, :, :3]  # (1, nv, 3)
     lin = d.cdof[None, :, 3:]  # (1, nv, 3)

@@ -252,6 +252,16 @@ class Option:
     ls_iterations: int = static_field(default=50)
     noslip_iterations: int = static_field(default=0)
     disableflags: int = static_field(default=0)
+    # Throughput knob (f32 batched path only): keep at most this many
+    # contacts per condim group in the constraint system, selected per
+    # environment by penetration depth (top-k).  0 = keep every
+    # candidate (MuJoCo-faithful; the f64 parity path always does).
+    # Models whose broadphase admits hundreds of candidate pairs of
+    # which only a handful touch (e.g. the Jaco arm's 156 pairs) spend
+    # most of the solver on rows whose force is identically zero; a cap
+    # of ~2-4x the realistic simultaneous-contact count recovers that
+    # time without changing the dynamics.
+    contact_cap: int = static_field(default=0)
 
     @classmethod
     def default(cls, dtype=jnp.float64) -> "Option":
@@ -720,3 +730,55 @@ def _body_dof_mask_np(dof_bodyid: Tuple[int, ...], nbody: int):
 def body_dof_mask(m: "Model") -> np.ndarray:
     return _body_dof_mask_np(tuple(int(b) for b in np.asarray(m.dof_bodyid)),
                              m.nbody)
+
+
+@functools.lru_cache(maxsize=None)
+def _dof_before_mask_np(parentid: Tuple[int, ...],
+                        body_jntadr: Tuple[int, ...],
+                        body_jntnum: Tuple[int, ...],
+                        jnt_type: Tuple[int, ...],
+                        jnt_dofadr: Tuple[int, ...], nv: int):
+    """(before, rotflag) for the vectorized cdof_dot (mj_comVel semantics).
+
+    before[k, j] = 1 iff dof j's velocity contribution is already applied
+    when cdof_dot[k] is evaluated in MuJoCo's per-body joint sweep:
+    every dof of a strict-ancestor body, every dof of an earlier joint on
+    the same body, and — for a free joint's rotational dofs — the joint's
+    own translational dofs.  rotflag[k] = 0 for free-joint translational
+    dofs (their cdof is constant, cdof_dot = 0).
+    """
+    nbody = len(parentid)
+    before = np.zeros((nv, nv))
+    rotflag = np.ones((nv,))
+    # chain[b] = dofs applied once body b's sweep is complete
+    chain: list = [[] for _ in range(nbody)]
+    for b in range(1, nbody):
+        applied = list(chain[parentid[b]])
+        for j in range(body_jntadr[b], body_jntadr[b] + body_jntnum[b]):
+            dadr = jnt_dofadr[j]
+            jt = jnt_type[j]
+            if jt == int(JointType.FREE):
+                for k in range(3):
+                    rotflag[dadr + k] = 0.0
+                applied += [dadr, dadr + 1, dadr + 2]
+                for k in range(3, 6):
+                    before[dadr + k, applied] = 1.0
+                applied += [dadr + 3, dadr + 4, dadr + 5]
+            elif jt == int(JointType.BALL):
+                for k in range(3):
+                    before[dadr + k, applied] = 1.0
+                applied += [dadr, dadr + 1, dadr + 2]
+            else:  # HINGE / SLIDE
+                before[dadr, applied] = 1.0
+                applied.append(dadr)
+        chain[b] = applied
+    return before, rotflag
+
+
+def dof_before_mask(m: "Model") -> Tuple[np.ndarray, np.ndarray]:
+    return _dof_before_mask_np(
+        tuple(int(x) for x in np.asarray(m.body_parentid)),
+        tuple(int(x) for x in np.asarray(m.body_jntadr)),
+        tuple(int(x) for x in np.asarray(m.body_jntnum)),
+        tuple(int(x) for x in np.asarray(m.jnt_type)),
+        tuple(int(x) for x in np.asarray(m.jnt_dofadr)), m.nv)

@@ -311,13 +311,28 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
                 d2 = d2 + jnp.einsum("ki,kij,kj->", jp_g, hc, jp_g)
             return jnp.asarray(d1, dtype), jnp.asarray(d2, dtype)
 
-        # Safeguarded exact line search: φ is convex and piecewise smooth
-        # (zone switches in cone/limit rows make plain 1D Newton cycle and
-        # stall far from the minimizer).  Bracket the root of φ' by
-        # doubling, then interleave Newton steps with bisection, keeping
-        # the bracket invariant φ'(lo) < 0 < φ'(hi).  (A fused
-        # 11-candidate bracket evaluation was measured perf-neutral here:
-        # the K x nefc broadcast costs what the latency win saves.)
+        # Line-search depth is dtype-tiered: each round at least halves
+        # the bracket (bisection; Newton is quadratic away from zone
+        # kinks).  12 rounds resolve alpha past fp32 precision and cost
+        # 13% less humanoid throughput than 25 — and are still far
+        # tighter than MuJoCo's own LS (ls_tolerance=1% early exit).
+        # The f64 oracle-parity path keeps 25 rounds: at a kinked
+        # minimizer bisection is linear, and 2^-12 alpha precision
+        # flips contact boundaries a few steps later (seen on
+        # manipulator:bring_ball).
+        if dtype == jnp.float64:
+            nls = max(min(m.opt.ls_iterations, 25), 12)
+        else:
+            nls = max(min(m.opt.ls_iterations, 12), 8)
+
+        # Safeguarded exact line search: φ is convex and piecewise
+        # smooth (zone switches in cone/limit rows make plain 1D
+        # Newton cycle and stall far from the minimizer).  Bracket
+        # the root of φ' by doubling, then interleave Newton steps
+        # with bisection, keeping the bracket invariant
+        # φ'(lo) < 0 < φ'(hi).  (A fused 11-candidate bracket
+        # evaluation was measured perf-neutral here: the K x nefc
+        # broadcast costs what the latency win saves.)
         one = jnp.asarray(1.0, dtype)
 
         def grow_body(k, carry):
@@ -342,19 +357,6 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
             nxt = jnp.where(inside, newton, mid)
             return lo, hi, jnp.where(d1 == 0, alpha, nxt)
 
-        # Line-search depth is dtype-tiered: each round at least halves
-        # the bracket (bisection; Newton is quadratic away from zone
-        # kinks).  12 rounds resolve alpha past fp32 precision and cost
-        # 13% less humanoid throughput than 25 — and are still far
-        # tighter than MuJoCo's own LS (ls_tolerance=1% early exit).
-        # The f64 oracle-parity path keeps 25 rounds: at a kinked
-        # minimizer bisection is linear, and 2^-12 alpha precision
-        # flips contact boundaries a few steps later (seen on
-        # manipulator:bring_ball).
-        if dtype == jnp.float64:
-            nls = max(min(m.opt.ls_iterations, 25), 12)
-        else:
-            nls = max(min(m.opt.ls_iterations, 12), 8)
         _, _, alpha = jax.lax.fori_loop(
             0, nls, ls_body, (jnp.zeros((), dtype), hi, one))
         x_new = x + alpha * p
@@ -389,6 +391,23 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
     # elliptic — rows ARE the contact-frame force components directly
     contact_force = d.contact_force
     contact_force_vec = d.contact_force_vec
+    if efc.sel_spans:
+        # compacted contacts: scatter group forces back to the full
+        # candidate arrays through the traced selection indices
+        contact_force = jnp.zeros_like(d.contact_force)
+        contact_force_vec = jnp.zeros_like(d.contact_force_vec)
+        for sel_off, start, nrows, k in efc.sel_spans:
+            ids = efc.contact_selids[sel_off:sel_off + k]
+            group = efc_force[start:start + k * nrows].reshape(k, nrows)
+            normal = jnp.sum(group, axis=1)
+            wrench = jnp.zeros((k, 6), group.dtype).at[:, 0].set(normal)
+            if nrows > 1:
+                nfd = nrows // 2
+                mu = d.contact.friction[ids]  # (k, 5)
+                diff = group[:, 0::2] - group[:, 1::2]
+                wrench = wrench.at[:, 1:1 + nfd].set(mu[:, :nfd] * diff)
+            contact_force = contact_force.at[ids].set(normal)
+            contact_force_vec = contact_force_vec.at[ids].set(wrench)
     if efc.contact_spans or efc.cone_spans:
         contact_force = jnp.zeros_like(d.contact_force)
         contact_force_vec = jnp.zeros_like(d.contact_force_vec)

@@ -24,6 +24,14 @@ from dm_control_tpu.rl.control import (
 )
 
 
+def _n_candidates(model: Model) -> int:
+    """Total candidate contacts the static broadphase admits."""
+    from dm_control_tpu.physics import collision
+
+    return sum(nrows * len(pairs)
+               for _, nrows, pairs in collision.contact_groups(model))
+
+
 class BatchEnv:
     """Vectorized, jit-compiled environment.
 
@@ -43,7 +51,41 @@ class BatchEnv:
                  time_limit: float = float("inf"),
                  control_timestep: Optional[float] = None,
                  autoreset: bool = True,
-                 dtype=None):
+                 dtype=None,
+                 contact_cap: Optional[int] = None):
+        # Contact compaction (physics/constraints._contact_rows_compact):
+        # None = auto — engage when the static broadphase admits far more
+        # candidates than can plausibly touch at once.  0 disables; an
+        # int pins the per-condim-group cap.
+        if contact_cap is None:
+            import os as _os
+
+            _env_cap = _os.environ.get("DMCT_CONTACT_CAP")
+            if _env_cap is not None:
+                contact_cap = int(_env_cap)
+        if contact_cap is None and (dtype is None or dtype == jnp.float32):
+            # Engage only for models whose broadphase admits far more
+            # candidates than can touch (the Jaco stack: 671).  Paired
+            # TPU measurement: at humanoid scale (177 candidates) the
+            # top-k + dynamic-gather jacobians cost MORE than the
+            # dropped rows save (19.3k -> 13.4k env-steps/s), while at
+            # Jaco scale throughput is neutral and compile time / J-array
+            # memory drop ~5x/10x (docs/perf_r4.md).
+            ncand = len(model.collision_pairs) and _n_candidates(model)
+            contact_cap = 64 if ncand > 512 else 0
+        if contact_cap:
+            model = model.replace(
+                opt=model.opt.replace(contact_cap=int(contact_cap)))
+        if dtype is not None and dtype != model.qpos0.dtype:
+            # Under enable_x64 an f64 model's constants would promote the
+            # f32 carry (qvel = qvel + timestep * qacc -> f64) and break
+            # the scan/while carries; without x64 the cast is an identity
+            # at trace time.  Float leaves only — index arrays stay int.
+            model = jax.tree.map(
+                lambda x: jnp.asarray(x, dtype)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                          jnp.floating)
+                else x, model)
         self.model = model
         self.task = task
         self.autoreset = autoreset
@@ -141,9 +183,12 @@ class BatchEnv:
                 k, dd, n = carry
                 k, sub = jax.random.split(k)
                 rc2 = RandomContext(key=sub)
-                qp, qv, _ = task.init(m, jnp.asarray(m.qpos0),
-                                      jnp.zeros_like(dd.qvel), rc2, diff)
-                return k, dd.replace(qpos=qp, qvel=qv), n + 1
+                qp, qv, _ = task.init(
+                    m, jnp.asarray(m.qpos0, dd.qpos.dtype),
+                    jnp.zeros_like(dd.qvel), rc2, diff)
+                return k, dd.replace(qpos=jnp.asarray(qp, dd.qpos.dtype),
+                                     qvel=jnp.asarray(qv, dd.qvel.dtype)), \
+                    n + 1
 
             rng, dd, _ = jax.lax.while_loop(
                 cond, body, (rng, d, jnp.asarray(0, jnp.int32)))

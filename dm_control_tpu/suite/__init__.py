@@ -76,7 +76,7 @@ def load(domain_name, task_name, task_kwargs=None, environment_kwargs=None,
 
 
 def load_batch(domain_name, task_name, task_kwargs=None, autoreset=True,
-               dtype=None):
+               dtype=None, contact_cap=None):
     """Returns a ``BatchEnv`` (vmapped, jit-compiled, shardable) for a
     suite task — the TPU-native replacement for wrapping ``load`` results
     in SubprocVecEnv (reference scripts/vec_env.py)."""
@@ -86,7 +86,8 @@ def load_batch(domain_name, task_name, task_kwargs=None, autoreset=True,
     return BatchEnv(env._model, env._task,
                     time_limit=env._time_limit,
                     control_timestep=env._control_timestep,
-                    autoreset=autoreset, dtype=dtype)
+                    autoreset=autoreset, dtype=dtype,
+                    contact_cap=contact_cap)
 
 
 def build_environment(domain_name, task_name, task_kwargs=None,
