@@ -326,12 +326,10 @@ def main():
     signal.signal(signal.SIGTERM, _bail)
     signal.signal(signal.SIGINT, _bail)
 
-    for name, _fn, cap in _RUNGS:
+    def _run_rung(name, cap):
         left = deadline - time.monotonic()
         if left < 30:
-            results.setdefault("bench_note",
-                               f"budget {budget:.0f}s exhausted at {name}")
-            break
+            return "budget"
         child = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--rung", name],
             stdout=subprocess.PIPE, text=True,
@@ -343,14 +341,33 @@ def main():
             child.kill()
             child.communicate()
             results[name + "_error"] = f"timeout after {min(cap, left):.0f}s"
-            continue
+            return "timeout"
         finally:
             state["child"] = None
         got = [l for l in out.splitlines() if l.startswith(_MARK)]
         if got:
             results.update(json.loads(got[-1][len(_MARK):]))
-        else:
-            results[name + "_error"] = f"no result (rc={child.returncode})"
+            results.pop(name + "_error", None)
+            return "ok"
+        results[name + "_error"] = f"no result (rc={child.returncode})"
+        return "fail"
+
+    failed = []
+    for name, _fn, cap in _RUNGS:
+        status = _run_rung(name, cap)
+        if status == "budget":
+            results.setdefault("bench_note",
+                               f"budget {budget:.0f}s exhausted at {name}")
+            break
+        if status in ("timeout", "fail"):
+            failed.append((name, cap))
+    # the remote-TPU tunnel intermittently stalls single runs for many
+    # minutes (observed ~1-in-3 in round 4); one retry pass with the
+    # remaining budget recovers those rungs
+    for name, cap in failed:
+        if deadline - time.monotonic() < 60:
+            break
+        _run_rung(name, cap)
     _emit(results)
 
 

@@ -779,3 +779,459 @@ def build_step(m: Model):
     # fwd_position+sensor pipeline when the model has no sensors
     step1.fk_observe_ok = (m.nsensor == 0)
     return step1
+
+
+# ---------------------------------------------------------------------------
+# Hybrid fused-smooth step: SSA smooth dynamics + batched constraint solver.
+# ---------------------------------------------------------------------------
+
+_MAX_SMOOTH_NV = 36
+_MAX_SMOOTH_ROWS = 420
+
+
+def applicable_smooth(m: Model) -> bool:
+    """True when ``build_smooth_step`` reproduces engine.step.
+
+    Covers the free/ball-rooted mid-size tier (humanoid: nv=27, 177
+    contact candidates) that the full-SSA path can't: the smooth stages
+    (FK, com, CRB, com_vel, RNE, passive, actuation, narrowphase) run as
+    one straight-line program per env — they are latency/kernel-count
+    bound in array form — while constraint assembly and the projected
+    Newton solver keep the batched array path, whose Hessian products
+    are MXU-shaped FLOPs that scalarization would push off the MXU.
+    """
+    try:
+        if m.njnt == 0 or m.na != 0 or m.ntendon != 0:
+            return False
+        if getattr(m, "neq", 0) != 0 or m.nv > _MAX_SMOOTH_NV:
+            return False
+        ok_types = {int(JointType.HINGE), int(JointType.SLIDE),
+                    int(JointType.BALL), int(JointType.FREE)}
+        jt = [int(t) for t in np.asarray(m.jnt_type)]
+        if any(t not in ok_types for t in jt):
+            return False
+        # quaternion-joint restrictions: no springs, no limits (the SSA
+        # passive/limit stages only model scalar joints)
+        stiff = np.asarray(m.jnt_stiffness)
+        limited = np.asarray(m.jnt_limited)
+        for j, t in enumerate(jt):
+            if t in (int(JointType.BALL), int(JointType.FREE)):
+                if stiff[j] != 0 or int(limited[j]):
+                    return False
+        if np.any(np.asarray(m.dof_frictionloss) != 0):
+            return False
+        if int(np.asarray(m.opt.integrator)) != int(IntegratorType.EULER):
+            return False
+        if int(np.asarray(m.opt.cone)) == 1:  # elliptic: solver path differs
+            return False
+        if int(getattr(m.opt, "noslip_iterations", 0) or 0) != 0:
+            return False
+        from dm_control_tpu.physics import collision
+
+        for key, nrows, pairs in collision.contact_groups(m):
+            fn, _ = collision._resolve_collider(m, key)
+            if isinstance(fn, tuple):  # hfield colliders need model data
+                return False
+        from dm_control_tpu.physics.collision import contact_rows_static
+
+        dims, _, _ = contact_rows_static(m)
+        rows = sum(1 if c == 1 else 2 * (c - 1) for c in dims)
+        if rows + 2 * m.njnt > _MAX_SMOOTH_ROWS:
+            return False
+        for u in range(m.nu):
+            if int(m.actuator_trntype[u]) not in (
+                    int(TrnType.JOINT), int(TrnType.JOINTINPARENT)):
+                return False
+            if int(m.actuator_dyntype[u]) != int(DynType.NONE):
+                return False
+            if int(np.asarray(m.actuator_gaintype)[u]) != int(
+                    GainType.FIXED):
+                return False
+            if int(np.asarray(m.actuator_biastype)[u]) != int(
+                    BiasType.NONE):
+                return False
+        harmless = (int(DisableBit.CONTACT) | int(DisableBit.FILTERPARENT)
+                    | int(DisableBit.FRICTIONLOSS))
+        if int(np.asarray(m.opt.disableflags)) & ~harmless:
+            return False
+        if float(np.asarray(m.opt.density)) != 0.0 or \
+                float(np.asarray(m.opt.viscosity)) != 0.0:
+            return False
+        if np.any(np.asarray(m.opt.wind) != 0.0):
+            return False
+        return True
+    except Exception:
+        return False
+
+
+def build_smooth_step(m: Model):
+    """step1(qpos, qvel, warm, ctrl) -> (qpos', qvel', warm') mirroring
+    engine.step for ``applicable_smooth`` models.
+
+    The smooth half mirrors kinematics.py / inertia.py / dynamics.py /
+    actuation.py / collision.py per-value (free/ball quaternion joints
+    included); its outputs are stacked into the standard Data fields and
+    handed to the UNCHANGED batched constraints.make_constraint /
+    solver.solve / engine.euler — so the solver semantics (and its
+    oracle parity) are shared, not duplicated.
+    """
+    if not applicable_smooth(m):
+        return None
+    import jax  # noqa: F811 (module-level import is shadowed in closures)
+
+    from dm_control_tpu.physics import collision as coll
+    from dm_control_tpu.physics import constraints as cons
+    from dm_control_tpu.physics import engine as eng
+    from dm_control_tpu.physics import solver as slv
+    from dm_control_tpu.physics.model import make_data
+
+    nbody, njnt, nv, nu, nq = (m.nbody, m.njnt, int(m.nv), int(m.nu),
+                               int(m.nq))
+    parent = [int(b) for b in np.asarray(m.body_parentid)]
+    body_pos = np.asarray(m.body_pos, np.float64)
+    body_quat = np.asarray(m.body_quat, np.float64)
+    body_mass = np.asarray(m.body_mass, np.float64)
+    body_inertia = np.asarray(m.body_inertia, np.float64)
+    body_ipos = np.asarray(m.body_ipos, np.float64)
+    body_iquat = np.asarray(m.body_iquat, np.float64)
+    body_rootid = [int(b) for b in np.asarray(m.body_rootid)]
+    subtreemass = np.asarray(m.body_subtreemass, np.float64)
+    jnt_bodyid = [int(j) for j in np.asarray(m.jnt_bodyid)]
+    jnt_type = [int(t) for t in np.asarray(m.jnt_type)]
+    jnt_axis = np.asarray(m.jnt_axis, np.float64)
+    jnt_pos = np.asarray(m.jnt_pos, np.float64)
+    jnt_qposadr = [int(a) for a in np.asarray(m.jnt_qposadr)]
+    jnt_dofadr = [int(a) for a in np.asarray(m.jnt_dofadr)]
+    qpos0 = np.asarray(m.qpos0, np.float64)
+    qpos_spring = np.asarray(m.qpos_spring, np.float64)
+    jnt_stiffness = np.asarray(m.jnt_stiffness, np.float64)
+    dof_damping = np.asarray(m.dof_damping, np.float64)
+    dof_armature = np.asarray(m.dof_armature, np.float64)
+    gravity = np.asarray(m.opt.gravity, np.float64)
+
+    def jnt_ndof(t):
+        return {int(JointType.FREE): 6, int(JointType.BALL): 3}.get(t, 1)
+
+    body_joints = [[] for _ in range(nbody)]
+    for j in range(njnt):
+        body_joints[jnt_bodyid[j]].append(j)
+
+    def chain(b):
+        out = []
+        while b != 0:
+            for j in body_joints[b]:
+                out.extend(range(jnt_dofadr[j],
+                                 jnt_dofadr[j] + jnt_ndof(jnt_type[j])))
+            b = parent[b]
+        return sorted(out)
+
+    body_chain = [chain(b) for b in range(nbody)]
+    dof_body = [0] * nv
+    for j in range(njnt):
+        for k in range(jnt_ndof(jnt_type[j])):
+            dof_body[jnt_dofadr[j] + k] = jnt_bodyid[j]
+    order = list(range(1, nbody))
+
+    act_jid = [int(m.actuator_trnid[u][0]) for u in range(nu)]
+    act_gear0 = np.asarray(m.actuator_gear, np.float64)[:, 0] if nu else []
+    act_ctrllim = [bool(l) for l in np.asarray(m.actuator_ctrllimited)] \
+        if nu else []
+    act_ctrlrange = np.asarray(m.actuator_ctrlrange, np.float64) if nu \
+        else []
+    act_forcelim = [bool(l) for l in np.asarray(m.actuator_forcelimited)] \
+        if nu else []
+    act_forcerange = np.asarray(m.actuator_forcerange, np.float64) if nu \
+        else []
+
+    def fk(qpos):
+        """kinematics.py:50 per-body, incl. FREE/BALL quaternion joints."""
+        dtype = qpos.dtype
+        xpos = [jnp.zeros(3, dtype)] * nbody
+        xquat = [None] * nbody
+        xquat[0] = jnp.array([1.0, 0, 0, 0], dtype)
+        xanchor = [None] * njnt
+        xaxis = [None] * njnt
+        for b in order:
+            p = parent[b]
+            pq = xquat[p]
+            pos = xpos[p] + mx.rotate(jnp.asarray(body_pos[b], dtype), pq)
+            quat = pq if np.allclose(body_quat[b], [1, 0, 0, 0]) else \
+                mx.quat_mul(pq, jnp.asarray(body_quat[b], dtype))
+            for j in body_joints[b]:
+                qadr = jnt_qposadr[j]
+                jp = jnp.asarray(jnt_pos[j], dtype)
+                ja = jnp.asarray(jnt_axis[j], dtype)
+                t = jnt_type[j]
+                if t == int(JointType.FREE):
+                    pos = qpos[qadr:qadr + 3]
+                    quat = mx.quat_normalize(qpos[qadr + 3:qadr + 7])
+                    xanchor[j] = pos
+                    xaxis[j] = mx.rotate(ja, quat)
+                elif t == int(JointType.BALL):
+                    anchor = pos + mx.rotate(jp, quat)
+                    qloc = mx.quat_normalize(qpos[qadr:qadr + 4])
+                    quat = mx.quat_mul(quat, qloc)
+                    pos = anchor - mx.rotate(jp, quat)
+                    xanchor[j] = anchor
+                    xaxis[j] = mx.rotate(ja, quat)
+                elif t == int(JointType.SLIDE):
+                    axis_w = mx.rotate(ja, quat)
+                    pos = pos + axis_w * (qpos[qadr] - qpos0[qadr])
+                    xanchor[j] = pos + mx.rotate(jp, quat)
+                    xaxis[j] = axis_w
+                else:  # HINGE
+                    anchor = pos + mx.rotate(jp, quat)
+                    angle = qpos[qadr] - qpos0[qadr]
+                    quat = mx.quat_mul(
+                        quat, mx.axis_angle_to_quat(ja, angle))
+                    pos = anchor - mx.rotate(jp, quat)
+                    xanchor[j] = anchor
+                    xaxis[j] = mx.rotate(ja, quat)
+            xpos[b] = pos
+            xquat[b] = quat
+        return xpos, xquat, xanchor, xaxis
+
+    geom_bodyid = [int(b) for b in np.asarray(m.geom_bodyid)] \
+        if m.ngeom else []
+    geom_pos = np.asarray(m.geom_pos, np.float64) if m.ngeom else None
+    geom_quat = np.asarray(m.geom_quat, np.float64) if m.ngeom else None
+    geom_size = np.asarray(m.geom_size, np.float64) if m.ngeom else None
+
+    # static narrowphase structure (order MUST match collision.collision:
+    # groups -> pairs -> nrows so the Contact row layout is identical)
+    _groups = []
+    _incs, _fris, _srs, _sis = [], [], [], []
+    for key, nrows, pairs in coll.contact_groups(m):
+        fn, _ = coll._resolve_collider(m, key)
+        _groups.append((fn, nrows, [(int(p[0]), int(p[1])) for p in pairs]))
+        fr5, sr, si, inc = coll._pair_params_arrays(m, pairs)
+        rep = lambda x: np.repeat(np.asarray(x, np.float32), nrows, axis=0)
+        _fris.append(rep(fr5))
+        _srs.append(rep(sr))
+        _sis.append(rep(si))
+        _incs.append(rep(inc))
+
+    template = make_data(m, jnp.float32)
+    if _groups:
+        # bake the per-candidate mixed contact params (the general path
+        # recomputes these each step in collision(); they are static)
+        template = template.replace(contact=template.contact.replace(
+            friction=jnp.asarray(np.concatenate(_fris)),
+            solref=jnp.asarray(np.concatenate(_srs)),
+            solimp=jnp.asarray(np.concatenate(_sis)),
+            includemargin=jnp.asarray(np.concatenate(_incs))))
+
+    def smooth_fields(qpos, qvel, ctrl):
+        """All Data fields fwd_position+fwd_velocity+fwd_actuation+
+        fwd_acceleration would set, as one straight-line program."""
+        dtype = qpos.dtype
+        v = [qvel[i] for i in range(nv)]
+
+        xpos, xquat, xanchor, xaxis = fk(qpos)
+        xmat = [mx.quat_to_mat(xquat[b]) for b in range(nbody)]
+        xipos = [None] * nbody
+        ximat = [None] * nbody
+        for b in range(nbody):
+            xipos[b] = xpos[b] + xmat[b] @ jnp.asarray(body_ipos[b], dtype)
+            ximat[b] = (xmat[b]
+                        if np.allclose(body_iquat[b], [1, 0, 0, 0])
+                        else xmat[b] @ mx.quat_to_mat(
+                            jnp.asarray(body_iquat[b], dtype)))
+
+        # ---- com_pos (kinematics.py:138) ----
+        acc = [body_mass[b] * xipos[b] for b in range(nbody)]
+        for b in reversed(order):
+            acc[parent[b]] = acc[parent[b]] + acc[b]
+        subtree_com = [acc[b] / max(subtreemass[b], _MINVAL)
+                       for b in range(nbody)]
+        cinert = [None] * nbody
+        for b in range(nbody):
+            offset = xipos[b] - subtree_com[body_rootid[b]]
+            cinert[b] = mx.inert_from_body(
+                jnp.asarray(body_mass[b], dtype),
+                jnp.asarray(body_inertia[b], dtype), offset, ximat[b])
+        cdof = [None] * nv
+        for j in range(njnt):
+            dadr = jnt_dofadr[j]
+            b = jnt_bodyid[j]
+            com = subtree_com[body_rootid[b]]
+            t = jnt_type[j]
+            if t == int(JointType.FREE):
+                for k in range(3):
+                    cdof[dadr + k] = jnp.zeros(6, dtype).at[3 + k].set(1.0)
+                for k in range(3):
+                    ax = xmat[b][:, k]
+                    cdof[dadr + 3 + k] = jnp.concatenate(
+                        [ax, jnp.cross(ax, com - xanchor[j])])
+            elif t == int(JointType.BALL):
+                for k in range(3):
+                    ax = xmat[b][:, k]
+                    cdof[dadr + k] = jnp.concatenate(
+                        [ax, jnp.cross(ax, com - xanchor[j])])
+            elif t == int(JointType.SLIDE):
+                cdof[dadr] = jnp.concatenate(
+                    [jnp.zeros(3, dtype), xaxis[j]])
+            else:
+                cdof[dadr] = jnp.concatenate(
+                    [xaxis[j], jnp.cross(xaxis[j],
+                                         subtree_com[body_rootid[b]]
+                                         - xanchor[j])])
+
+        # ---- CRB (inertia.py:19) ----
+        crb_i = list(cinert)
+        for b in reversed(order):
+            crb_i[parent[b]] = crb_i[parent[b]] + crb_i[b]
+        M = [[None] * nv for _ in range(nv)]
+        for i in range(nv):
+            f_i = mx.inert_mul(crb_i[dof_body[i]], cdof[i])
+            for jdof in body_chain[dof_body[i]]:
+                if jdof <= i:
+                    M[i][jdof] = jnp.dot(f_i, cdof[jdof])
+                    M[jdof][i] = M[i][jdof]
+        zero = jnp.zeros((), dtype)
+        for i in range(nv):
+            M[i][i] = M[i][i] + dof_armature[i]
+            for jdof in range(nv):
+                if M[i][jdof] is None:
+                    M[i][jdof] = zero
+
+        # ---- com_vel (kinematics.py:196, incl. free two-phase) ----
+        cvel = [jnp.zeros(6, dtype)] * nbody
+        cdof_dot = [None] * nv
+        for b in order:
+            vel = cvel[parent[b]]
+            for j in body_joints[b]:
+                dadr = jnt_dofadr[j]
+                t = jnt_type[j]
+                if t == int(JointType.FREE):
+                    for k in range(3):
+                        cdof_dot[dadr + k] = jnp.zeros(6, dtype)
+                        vel = vel + cdof[dadr + k] * v[dadr + k]
+                    for k in range(3, 6):
+                        cdof_dot[dadr + k] = mx.motion_cross(
+                            vel, cdof[dadr + k])
+                    for k in range(3, 6):
+                        vel = vel + cdof[dadr + k] * v[dadr + k]
+                elif t == int(JointType.BALL):
+                    for k in range(3):
+                        cdof_dot[dadr + k] = mx.motion_cross(
+                            vel, cdof[dadr + k])
+                    for k in range(3):
+                        vel = vel + cdof[dadr + k] * v[dadr + k]
+                else:
+                    cdof_dot[dadr] = mx.motion_cross(vel, cdof[dadr])
+                    vel = vel + cdof[dadr] * v[dadr]
+            cvel[b] = vel
+
+        # ---- RNE (dynamics.py:19) ----
+        cacc0 = jnp.concatenate([jnp.zeros(3, dtype),
+                                 -jnp.asarray(gravity, dtype)])
+        cacc = [cacc0] * nbody
+        for b in order:
+            a = cacc[parent[b]]
+            for j in body_joints[b]:
+                dadr = jnt_dofadr[j]
+                for k in range(jnt_ndof(jnt_type[j])):
+                    a = a + cdof_dot[dadr + k] * v[dadr + k]
+            cacc[b] = a
+        cfrc = [mx.inert_mul(cinert[b], cacc[b])
+                + mx.force_cross(cvel[b], mx.inert_mul(cinert[b], cvel[b]))
+                for b in range(nbody)]
+        for b in reversed(order):
+            cfrc[parent[b]] = cfrc[parent[b]] + cfrc[b]
+        qfrc_bias = [jnp.dot(cdof[i], cfrc[dof_body[i]])
+                     for i in range(nv)]
+
+        # ---- passive (dynamics.py:59; scalar joints only by gate) ----
+        qfrc_passive = [-dof_damping[i] * v[i] for i in range(nv)]
+        for j in range(njnt):
+            if jnt_stiffness[j] != 0:
+                qadr, dadr = jnt_qposadr[j], jnt_dofadr[j]
+                qfrc_passive[dadr] = qfrc_passive[dadr] - \
+                    jnt_stiffness[j] * (qpos[qadr] - qpos_spring[qadr])
+
+        # ---- actuation (actuation.py) ----
+        qfrc_act = [zero] * nv
+        actuator_force = []
+        for u in range(nu):
+            c = ctrl[u]
+            if act_ctrllim[u]:
+                c = jnp.clip(c, act_ctrlrange[u][0], act_ctrlrange[u][1])
+            force = act_gear0[u] * c
+            if act_forcelim[u]:
+                force = jnp.clip(force, act_forcerange[u][0],
+                                 act_forcerange[u][1])
+            actuator_force.append(force)
+            dadr = jnt_dofadr[act_jid[u]]
+            qfrc_act[dadr] = qfrc_act[dadr] + force
+        qfrc_smooth = [qfrc_passive[i] - qfrc_bias[i] + qfrc_act[i]
+                       for i in range(nv)]
+        qacc_smooth = _chol_solve(M, qfrc_smooth, nv)
+
+        # ---- narrowphase (collision.py:712, same candidate order) ----
+        dists, poss, frames = [], [], []
+        gxp = [None] * m.ngeom
+        gxm = [None] * m.ngeom
+        for g in range(m.ngeom):
+            b = geom_bodyid[g]
+            gxp[g] = xpos[b] + xmat[b] @ jnp.asarray(geom_pos[g], dtype)
+            gxm[g] = (xmat[b]
+                      if np.allclose(geom_quat[g], [1, 0, 0, 0])
+                      else xmat[b] @ mx.quat_to_mat(
+                          jnp.asarray(geom_quat[g], dtype)))
+        for fn, nrows, pairs in _groups:
+            for g1, g2 in pairs:
+                s1 = jnp.asarray(geom_size[g1], dtype)
+                s2 = jnp.asarray(geom_size[g2], dtype)
+                dist, cpos, frame = fn(gxp[g1], gxm[g1], s1,
+                                       gxp[g2], gxm[g2], s2)
+                dists.append(jnp.atleast_1d(dist).reshape(-1))
+                poss.append(cpos.reshape(-1, 3))
+                frames.append(frame.reshape(-1, 3, 3))
+
+        fields = dict(
+            xpos=jnp.stack(xpos), xquat=jnp.stack(xquat),
+            xmat=jnp.stack(xmat), xipos=jnp.stack(xipos),
+            ximat=jnp.stack(ximat),
+            jnt_xanchor=jnp.stack(xanchor), jnt_xaxis=jnp.stack(xaxis),
+            geom_xpos=jnp.stack(gxp) if m.ngeom else template.geom_xpos,
+            geom_xmat=jnp.stack(gxm) if m.ngeom else template.geom_xmat,
+            subtree_com=jnp.stack(subtree_com),
+            cinert=jnp.stack(cinert),
+            cdof=jnp.stack(cdof),
+            cdof_dot=jnp.stack(cdof_dot),
+            cvel=jnp.stack(cvel),
+            qM=jnp.stack([jnp.stack(row) for row in M]),
+            qfrc_bias=jnp.stack(qfrc_bias),
+            qfrc_passive=jnp.stack(qfrc_passive),
+            qfrc_actuator=(jnp.stack(qfrc_act)),
+            actuator_force=(jnp.stack(actuator_force)
+                            if nu else template.actuator_force),
+            qfrc_smooth=jnp.stack(qfrc_smooth),
+            qacc_smooth=jnp.stack(qacc_smooth),
+        )
+        if dists:
+            fields["contact"] = template.contact.replace(
+                dist=jnp.concatenate(dists),
+                pos=jnp.concatenate(poss),
+                frame=jnp.concatenate(frames))
+        return fields
+
+    def step1(qpos, qvel, warm, ctrl):
+        dtype = qpos.dtype
+        fields = smooth_fields(qpos, qvel, ctrl)
+        fields = {k: (jnp.asarray(val, dtype)
+                      if hasattr(val, "astype") else val)
+                  for k, val in fields.items()}
+        d = template.replace(
+            qpos=qpos, qvel=qvel, ctrl=ctrl, qacc_warmstart=warm,
+            **fields)
+        d = d.replace(qLD=d.qM)  # factor placeholder (inertia.factor_m)
+        d = eng.fwd_constraint(m, d)
+        warm_new = d.qacc
+        d = eng.euler(m, d)
+        return (jnp.asarray(d.qpos, dtype), jnp.asarray(d.qvel, dtype),
+                jnp.asarray(warm_new, dtype))
+
+    step1.fk_observe_ok = False  # observation uses the general pipeline
+    return step1

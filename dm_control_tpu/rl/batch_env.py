@@ -11,6 +11,7 @@ sharded over a device mesh (see ``dm_control_tpu.parallel``).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Optional
 
 import jax
@@ -128,23 +129,38 @@ class BatchEnv:
 
         self._fast_step1 = None
         diff_keys = set(task.initial_model_diff(model))
+        raw = None
         if diff_keys <= _fastpath.DIFF_SAFE_FIELDS:
             raw = _fastpath.build_step(model)
-            if raw is not None:
-                # the fused step computes with f64 model constants; under
-                # enable_x64 that promotes, so cast back to the carry dtype
-                def _cast_step(qp, qv, w, ctrl, _raw=raw):
-                    out = _raw(qp, qv, w, ctrl)
-                    return tuple(jnp.asarray(x, qp.dtype) for x in out)
+        if (raw is None and not diff_keys
+                and self._template.qpos.dtype == jnp.float32
+                and os.environ.get("DMCT_FASTSMOOTH", "0") == "1"):
+            # hybrid fused-smooth tier (free/ball mid-size models, e.g.
+            # humanoid): SSA smooth dynamics + batched constraint solver.
+            # DEFAULT OFF — measured 15% SLOWER than the general engine
+            # on TPU (humanoid substep 9.8 vs 8.5 ms, batch 1024): the
+            # SSA->array stack boundaries (cdof/qM/contact concatenates)
+            # shatter XLA fusion into ~3.7k kernels vs the general
+            # path's ~1k (docs/perf_r4.md).  Kept as an opt-in
+            # (DMCT_FASTSMOOTH=1) correctness-verified reference for a
+            # future all-scalar formulation.  Requires an empty
+            # model_diff — baked geom poses feed the narrowphase.
+            raw = _fastpath.build_smooth_step(model)
+        if raw is not None:
+            # the fused step computes with f64 model constants; under
+            # enable_x64 that promotes, so cast back to the carry dtype
+            def _cast_step(qp, qv, w, ctrl, _raw=raw):
+                out = _raw(qp, qv, w, ctrl)
+                return tuple(jnp.asarray(x, qp.dtype) for x in out)
 
-                _cast_step.fk_observe_ok = raw.fk_observe_ok
-                if hasattr(raw, "fk_fields"):
-                    def _cast_fk(qp, diff, _raw=raw):
-                        return {k: jnp.asarray(v, qp.dtype)
-                                for k, v in _raw.fk_fields(qp, diff).items()}
+            _cast_step.fk_observe_ok = raw.fk_observe_ok
+            if hasattr(raw, "fk_fields"):
+                def _cast_fk(qp, diff, _raw=raw):
+                    return {k: jnp.asarray(v, qp.dtype)
+                            for k, v in _raw.fk_fields(qp, diff).items()}
 
-                    _cast_step.fk_fields = _cast_fk
-                self._fast_step1 = _cast_step
+                _cast_step.fk_fields = _cast_fk
+            self._fast_step1 = _cast_step
 
         self.reset = jax.jit(jax.vmap(self._reset_one))
         self.step = jax.jit(self._step_batched)
@@ -220,6 +236,25 @@ class BatchEnv:
                 and self._fast_step1.fk_observe_ok):
             d = d.replace(**self._fast_step1.fk_fields(
                 d.qpos, state.model_diff))
+            return state.replace(data=d), self.task.observation(m, d)
+        if getattr(self.task, "observation_stages", "acc") == "vel":
+            # The task declared its observables position/velocity-stage
+            # only (suite/base.py): skip CRB, the mass-matrix factor,
+            # collision, RNE, and acc-stage sensors — the reference pays
+            # the same reduced cost via mj_step1 (engine.py:149-166).
+            from dm_control_tpu.physics import actuation as act_mod
+            from dm_control_tpu.physics import kinematics as kin
+
+            d = kin.kinematics(m, d)
+            d = kin.com_pos(m, d)
+            d = kin.tendon(m, d)
+            d = act_mod.transmission(m, d)
+            d = sens.sensor_pos(m, d)
+            d = act_mod.actuator_velocity(m, d)
+            if m.ntendon:
+                d = d.replace(ten_velocity=d.ten_moment @ d.qvel)
+            d = kin.com_vel(m, d)
+            d = sens.sensor_vel(m, d)
             return state.replace(data=d), self.task.observation(m, d)
         d = engine.fwd_position(m, d)
         d = sens.sensor_pos(m, d)

@@ -137,6 +137,8 @@ def _hinge_addrs(m):
 
 class Stand(base.Task):
     """Upright-posture task (reference dog.py:250 ``Stand``)."""
+    observation_stages = "acc"  # reads touch/force/imu sensors
+
 
     def __init__(self, observe_reward_factors=False):
         self._observe_reward_factors = observe_reward_factors

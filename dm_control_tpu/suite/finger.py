@@ -57,6 +57,8 @@ def turn_hard(time_limit=_DEFAULT_TIME_LIMIT, random=None,
 
 class _FingerTask(base.Task):
     """Shared accessors (reference finger.py Physics)."""
+    observation_stages = "acc"  # reads touch/force/imu sensors
+
 
     max_reset_rejections = 1000
 

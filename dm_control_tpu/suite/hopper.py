@@ -46,6 +46,8 @@ def hop(time_limit=_DEFAULT_TIME_LIMIT, random=None,
 
 class Hopper(base.Task):
     """Stand or hop forward (reference hopper.py Hopper)."""
+    observation_stages = "acc"  # reads touch/force/imu sensors
+
 
     def __init__(self, hopping):
         self._hopping = hopping

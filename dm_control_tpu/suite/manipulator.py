@@ -92,6 +92,8 @@ class Bring(base.Task):
     The numpy-path episode init reproduces the reference's draw sequence,
     including the mid-init forward-kinematics query for the in-hand case.
     """
+    observation_stages = "acc"  # reads touch/force/imu sensors
+
 
     max_reset_rejections = 100
 

@@ -118,6 +118,8 @@ def _sensor_slice(m, d, ids):
 
 class _QuadrupedTask(base.Task):
     """Shared quadruped machinery (reference quadruped.py Physics + init)."""
+    observation_stages = "acc"  # reads touch/force/imu sensors
+
 
     def _egocentric_state(self, m, d):
         hinges = [j for j in range(m.njnt)

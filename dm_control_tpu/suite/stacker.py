@@ -60,6 +60,8 @@ def stack_4(fully_observable=True, time_limit=_TIME_LIMIT, random=None,
 
 class Stack(base.Task):
     """Stack boxes near the target (reference stacker.py Stack)."""
+    observation_stages = "acc"  # reads touch/force/imu sensors
+
 
     max_reset_rejections = 100
 
