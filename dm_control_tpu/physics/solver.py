@@ -333,9 +333,15 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
         # φ'(lo) < 0 < φ'(hi).  (A fused 11-candidate bracket
         # evaluation was measured perf-neutral here: the K x nefc
         # broadcast costs what the latency win saves.)
+        # Both line-search loops are STATICALLY UNROLLED rather than
+        # lax.fori_loop'd: a fori_loop body inside the Newton while_loop
+        # re-launches its ~7 small kernels every round (~150 launches
+        # per Newton iteration); unrolled, XLA fuses the ~22 dependent
+        # elementwise evaluations over the (nefc,) rows into a handful
+        # of kernels.  The math is identical round for round.
         one = jnp.asarray(1.0, dtype)
 
-        def grow_body(k, carry):
+        def grow_body(carry):
             hi, d1_hi = carry
             hi2 = jnp.where(d1_hi < 0, hi * 2.0, hi)
             d1_hi2, _ = phi_derivs(hi2)
@@ -344,9 +350,12 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
                     jnp.where(take, d1_hi2, d1_hi))
 
         d1_1, _ = phi_derivs(one)
-        hi, d1_hi = jax.lax.fori_loop(0, 10, grow_body, (one, d1_1))
+        carry = (one, d1_1)
+        for _ in range(10):
+            carry = grow_body(carry)
+        hi, d1_hi = carry
 
-        def ls_body(k, carry):
+        def ls_body(carry):
             lo, hi, alpha = carry
             d1, d2 = phi_derivs(alpha)
             lo = jnp.where(d1 < 0, alpha, lo)
@@ -357,8 +366,10 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
             nxt = jnp.where(inside, newton, mid)
             return lo, hi, jnp.where(d1 == 0, alpha, nxt)
 
-        _, _, alpha = jax.lax.fori_loop(
-            0, nls, ls_body, (jnp.zeros((), dtype), hi, one))
+        carry = (jnp.zeros((), dtype), hi, one)
+        for _ in range(nls):
+            carry = ls_body(carry)
+        _, _, alpha = carry
         x_new = x + alpha * p
         cost_new, _ = total_cost(x_new)
         # guard: reject non-descent steps
