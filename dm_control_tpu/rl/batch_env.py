@@ -58,12 +58,8 @@ class BatchEnv:
         # None = auto — engage when the static broadphase admits far more
         # candidates than can plausibly touch at once.  0 disables; an
         # int pins the per-condim-group cap.
-        if contact_cap is None:
-            import os as _os
-
-            _env_cap = _os.environ.get("DMCT_CONTACT_CAP")
-            if _env_cap is not None:
-                contact_cap = int(_env_cap)
+        if contact_cap is None and "DMCT_CONTACT_CAP" in os.environ:
+            contact_cap = int(os.environ["DMCT_CONTACT_CAP"])
         if contact_cap is None and (dtype is None or dtype == jnp.float32):
             # Engage only for models whose broadphase admits far more
             # candidates than can touch (the Jaco stack: 671).  Paired
