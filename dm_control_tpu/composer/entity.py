@@ -11,7 +11,6 @@ tree compiles once into a static Model.
 from __future__ import annotations
 
 import abc
-import copy
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -19,27 +18,6 @@ import numpy as np
 from dm_control_tpu.composer.define import cached_property
 from dm_control_tpu.composer.observation.observable import Observable
 from dm_control_tpu.mjcf.element import Element
-
-# Attributes whose values reference other elements' names.
-_REF_ATTRS = ("joint", "site", "tendon", "body", "body1", "body2",
-              "joint1", "joint2", "tendon1", "tendon2", "objname",
-              "target", "hfield", "mesh", "material", "texture",
-              "childclass", "class", "actuator", "geom", "geom1", "geom2",
-              "prefix")
-
-# Top-level sections merged (not nested) on attach.
-_MERGE_SECTIONS = ("asset", "actuator", "sensor", "tendon", "equality",
-                   "contact", "default")
-
-
-def _prefix_tree(elem: Element, prefix: str) -> None:
-    for e in elem.iter():
-        if "name" in e.attrib:
-            e.attrib["name"] = prefix + str(e.attrib["name"])
-        for attr in _REF_ATTRS:
-            if attr in e.attrib and attr != "prefix":
-                e.attrib[attr] = prefix + str(e.attrib[attr])
-
 
 class Observables:
     """Container of an entity's observables
@@ -140,54 +118,14 @@ class Entity(abc.ABC):
         attachment point; other sections merge into this model's tree with
         'childname/' name prefixing (PyMJCF semantics,
         dm_control/mjcf/element.py:893-952)."""
+        from dm_control_tpu.mjcf.attachment import attach_model
+
         prefix = entity.name + "/"
-        child_root = copy.deepcopy(entity.mjcf_model)
-        _prefix_tree(child_root, prefix)
-
-        # namescope collision detection (reference namescope.py semantics):
-        # prefixed child identifiers must not collide with names already in
-        # this model's tree
-        own_names = {(e.tag, e.attrib["name"])
-                     for e in self._mjcf_root.iter()
-                     if e.attrib.get("name") is not None}
-        clashes = [(e.tag, e.attrib["name"]) for e in child_root.iter()
-                   if e.attrib.get("name") is not None
-                   and (e.tag, e.attrib["name"]) in own_names]
-        if clashes:
-            raise ValueError(
-                f"Attaching {entity.name!r} would duplicate names: "
-                f"{clashes[:5]} (attach each entity instance under a "
-                f"unique name)")
-
-        parent_elem = attach_site or self._mjcf_root.first("worldbody")
-        if parent_elem is None:
-            parent_elem = self._mjcf_root.add("worldbody")
-        child_world = child_root.first("worldbody")
-        world_children = list(child_world.children) if child_world else []
-        only_bodies = [c for c in world_children if c.tag == "body"]
-        if len(world_children) == 1 and len(only_bodies) == 1:
-            # single root body: use it directly as the attachment frame —
-            # a massless wrapper body with a free joint would be rejected
-            # by the physics (moving bodies need mass)
-            frame = only_bodies[0]
-            frame.attrib.setdefault("name", prefix.rstrip("/"))
-            frame.parent = parent_elem
-            parent_elem.children.append(frame)
-        else:
-            frame = parent_elem.add("body", name=prefix.rstrip("/"))
-            for c in world_children:
-                c.parent = frame
-                frame.children.append(c)
-        for section in _MERGE_SECTIONS:
-            child_sec = child_root.first(section)
-            if child_sec is None:
-                continue
-            own = self._mjcf_root.first(section)
-            if own is None:
-                own = self._mjcf_root.add(section)
-            for c in child_sec.children:
-                c.parent = own
-                own.children.append(c)
+        # sites keep their reference pose semantics; bodies attach
+        # directly underneath (attach_model handles both and the
+        # namescope collision rejection)
+        frame = attach_model(self._mjcf_root, entity.mjcf_model, prefix,
+                             attach_site=attach_site)
 
         entity._parent = self
         entity._attachment_frame = frame

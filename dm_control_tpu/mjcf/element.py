@@ -73,6 +73,24 @@ class Element:
         self.children.remove(child)
         child.parent = None
 
+    def attach(self, child_root: "Element",
+               prefix: Optional[str] = None) -> "Element":
+        """Attaches another <mujoco> model here, returning its attachment
+        frame body (PyMJCF attach: reference mjcf/element.py:900,1149).
+        Valid on the root (merge under worldbody), a body (merge under
+        it), or a site (frame at the site's pose on its owning body)."""
+        from dm_control_tpu.mjcf.attachment import element_attach
+
+        return element_attach(self, child_root, prefix)
+
+    def detach(self) -> None:
+        """Removes this element (e.g. an attachment frame) from its
+        parent (reference attachment_frame detach semantics)."""
+        if self.parent is None:
+            raise RuntimeError(f"<{self.tag}> has no parent to detach "
+                               "from")
+        self.parent.remove(self)
+
     # -- queries ------------------------------------------------------------
 
     def get(self, key: str, default=None):

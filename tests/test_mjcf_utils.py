@@ -136,3 +136,74 @@ def test_padded_room_contract():
     assert layer.count("P") == 1 and layer.count("G") == 2
     room.regenerate()
     assert room.entity_layer.count("G") == 2
+
+
+# -- element-level attach (PyMJCF mjcf_model.attach / site.attach) ----------
+
+
+def _arm_model():
+    import dm_control_tpu.mjcf as mjcf
+
+    root = mjcf.Element("mujoco", {"model": "arm"})
+    wb = root.add("worldbody")
+    base = wb.add("body", name="base", pos="0 0 0.1")
+    base.add("geom", name="base_geom", type="capsule", size="0.02",
+             fromto="0 0 0 0 0 0.2")
+    base.add("joint", name="shoulder", type="hinge", axis="0 1 0")
+    base.add("site", name="wrist", pos="0 0 0.2")
+    act = root.add("actuator")
+    act.add("motor", name="shoulder_motor", joint="shoulder")
+    return root
+
+
+def _hand_model():
+    import dm_control_tpu.mjcf as mjcf
+
+    root = mjcf.Element("mujoco", {"model": "hand"})
+    wb = root.add("worldbody")
+    palm = wb.add("body", name="palm")
+    palm.add("geom", name="palm_geom", type="sphere", size="0.03")
+    palm.add("joint", name="knuckle", type="hinge", axis="1 0 0")
+    act = root.add("actuator")
+    act.add("motor", name="knuckle_motor", joint="knuckle")
+    return root
+
+
+def test_element_attach_at_site_prefixes_and_compiles():
+    import dm_control_tpu.mjcf as mjcf
+
+    arm = _arm_model()
+    wrist = arm.first("worldbody").first("body").find("site", "wrist")
+    frame = wrist.attach(_hand_model())
+    # frame carries the site pose and the prefixed subtree
+    assert frame.get("pos") == "0 0 0.2"
+    assert arm.find("body", "hand/palm") is not None
+    assert arm.find("geom", "hand/palm_geom") is not None
+    # actuator merged at top level with rewritten joint reference
+    motors = [e for e in arm.iter() if e.tag == "motor"]
+    assert {m.get("name") for m in motors} == {
+        "shoulder_motor", "hand/knuckle_motor"}
+    assert arm.find("motor", "hand/knuckle_motor").get("joint") == \
+        "hand/knuckle"
+    m = mjcf.compile_model(arm)
+    assert m.nu == 2 and m.njnt == 2
+
+
+def test_element_attach_root_and_collision_rejection():
+    arm = _arm_model()
+    arm.attach(_hand_model())  # under worldbody, prefix 'hand/'
+    assert arm.find("body", "hand/palm") is not None
+    try:
+        arm.attach(_hand_model())  # same prefix -> name collision
+    except ValueError as e:
+        assert "duplicate names" in str(e)
+    else:
+        raise AssertionError("expected a namescope collision error")
+
+
+def test_attachment_frame_detach():
+    arm = _arm_model()
+    frame = arm.attach(_hand_model(), prefix="h1/")
+    assert arm.find("body", "h1/palm") is not None
+    frame.detach()
+    assert arm.find("body", "h1/palm") is None
