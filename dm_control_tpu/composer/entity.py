@@ -137,8 +137,9 @@ class Entity(abc.ABC):
         (reference entity.py:311)."""
         if self._parent is None:
             raise RuntimeError("Entity is not attached.")
-        frame = self._attachment_frame
-        frame.parent.children.remove(frame)
+        from dm_control_tpu.mjcf.attachment import detach_frame
+
+        detach_frame(self._attachment_frame)
         self._parent._attached.remove(self)
         self._parent = None
         self._attachment_frame = None

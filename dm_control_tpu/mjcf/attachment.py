@@ -68,13 +68,17 @@ def attach_model(root: Element, child_root: Element, prefix: str,
 
     if attach_site is not None and attach_site.tag == "site":
         # reference site.attach: the frame sits on the site's owning
-        # body, at the site's local pose
+        # body, at the site's local pose — every orientation spelling
+        # the compiler accepts (quat/euler/axisangle/zaxis/xyaxes) must
+        # carry over, not just quat
         parent_elem = attach_site.parent
-        site_pos = attach_site.attrib.get("pos")
-        site_quat = attach_site.attrib.get("quat")
+        site_pose = {k: attach_site.attrib[k]
+                     for k in ("pos", "quat", "euler", "axisangle",
+                               "zaxis", "xyaxes")
+                     if k in attach_site.attrib}
     else:
         parent_elem = attach_site
-        site_pos = site_quat = None
+        site_pose = {}
     if parent_elem is None:
         parent_elem = root.first("worldbody")
     if parent_elem is None:
@@ -84,7 +88,7 @@ def attach_model(root: Element, child_root: Element, prefix: str,
     world_children = list(child_world.children) if child_world else []
     only_bodies = [c for c in world_children if c.tag == "body"]
     if (len(world_children) == 1 and len(only_bodies) == 1
-            and site_pos is None and site_quat is None):
+            and not site_pose):
         # single root body: use it directly as the attachment frame —
         # a massless wrapper body with a free joint would be rejected
         # by the physics (moving bodies need mass)
@@ -93,12 +97,8 @@ def attach_model(root: Element, child_root: Element, prefix: str,
         frame.parent = parent_elem
         parent_elem.children.append(frame)
     else:
-        kw = {"name": prefix.rstrip("/")}
-        if site_pos is not None:
-            kw["pos"] = site_pos
-        if site_quat is not None:
-            kw["quat"] = site_quat
-        frame = parent_elem.add("body", **kw)
+        frame = parent_elem.add("body", name=prefix.rstrip("/"),
+                                **site_pose)
         for c in world_children:
             c.parent = frame
             frame.children.append(c)
@@ -121,6 +121,31 @@ def _root_of(elem: Element) -> Element:
     while e.parent is not None:
         e = e.parent
     return e
+
+
+def detach_frame(frame: Element) -> None:
+    """Removes an attachment frame AND every namescoped element the
+    attach merged into top-level sections (actuators, tendons, assets,
+    sensors, ...) — the reference's attachment-frame detach removes the
+    whole namescope, not just the subtree (mjcf/element.py:957)."""
+    root = _root_of(frame)
+    name = str(frame.attrib.get("name", ""))
+    # the frame is either the wrapper body named exactly like the
+    # namescope ('h1') or — single-root-body attach — the child's own
+    # prefixed root body ('h1/palm'); the namescope is the first segment
+    prefix = (name.split("/")[0] + "/") if name else ""
+    if frame.parent is not None:
+        frame.parent.remove(frame)
+    if not prefix or prefix == "/":
+        return
+    for section in MERGE_SECTIONS:
+        sec = root.first(section)
+        if sec is None:
+            continue
+        for c in list(sec.children):
+            name = c.attrib.get("name")
+            if name is not None and str(name).startswith(prefix):
+                sec.remove(c)
 
 
 def element_attach(self: Element, child_root: Element,

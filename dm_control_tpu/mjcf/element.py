@@ -84,12 +84,16 @@ class Element:
         return element_attach(self, child_root, prefix)
 
     def detach(self) -> None:
-        """Removes this element (e.g. an attachment frame) from its
-        parent (reference attachment_frame detach semantics)."""
+        """Removes this element from its parent; for attachment frames
+        this also sweeps the merged namescoped elements (prefixed
+        actuators/tendons/assets/sensors) out of the top-level sections
+        (reference attachment-frame detach, mjcf/element.py:957)."""
         if self.parent is None:
             raise RuntimeError(f"<{self.tag}> has no parent to detach "
                                "from")
-        self.parent.remove(self)
+        from dm_control_tpu.mjcf.attachment import detach_frame
+
+        detach_frame(self)
 
     # -- queries ------------------------------------------------------------
 

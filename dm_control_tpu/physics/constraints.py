@@ -225,10 +225,17 @@ def make_constraint(m: Model, d: Data) -> Efc:
             _limit_rows(m, d, blocks)
         if not (dis & DisableBit.CONTACT):
             cap = int(getattr(m.opt, "contact_cap", 0) or 0)
+            # engage only if some condim GROUP exceeds the cap — the
+            # selection is per group, so a total above the cap with
+            # every group under it would take the dynamic-gather path
+            # (measured ~30% slower) without dropping a single row
+            dims = np.array(d.contact.dim)
+            biggest = max((int((dims == c).sum()) for c in set(d.contact.dim)),
+                          default=0)
             if (cap > 0 and dtype == jnp.float32
                     and int(m.opt.cone) != 1
                     and int(getattr(m.opt, "noslip_iterations", 0)) == 0
-                    and len(d.contact.dim) > cap):
+                    and biggest > cap):
                 sel_spans, selids = _contact_rows_compact(m, d, blocks, cap)
             else:
                 contact_spans, cone_spans = _contact_rows(m, d, blocks)

@@ -842,6 +842,12 @@ def applicable_smooth(m: Model) -> bool:
             if int(m.actuator_trntype[u]) not in (
                     int(TrnType.JOINT), int(TrnType.JOINTINPARENT)):
                 return False
+            # the SSA actuation applies gear[0]*ctrl to ONE dof; a motor
+            # on a ball/free joint takes the 3-vector gear transmission
+            # (actuation.py:57) that this path doesn't model
+            if jt[int(m.actuator_trnid[u][0])] not in (
+                    int(JointType.HINGE), int(JointType.SLIDE)):
+                return False
             if int(m.actuator_dyntype[u]) != int(DynType.NONE):
                 return False
             if int(np.asarray(m.actuator_gaintype)[u]) != int(

@@ -23,16 +23,19 @@ _XYZ = {"x": 0, "y": 1, "z": 2}
 class Task(control.Task):
     """Suite task: adds the named-access helpers used by all domains."""
 
-    #: Deepest pipeline stage the task's observation/reward read from
-    #: Data: "vel" = position+velocity fields and pos/vel-stage sensors
-    #: only (the suite default — most domains read xpos/xmat/qvel and at
-    #: most a subtreelinvel/velocimeter sensor), "acc" = also needs
-    #: constraint-dependent values (touch/force/accelerometer sensors).
-    #: BatchEnv trims its per-control-step observation recompute
-    #: accordingly (rl/batch_env.py _observe); the host path always runs
-    #: the full pipeline like the reference.  Domains reading acc-stage
-    #: sensors (dog, finger, hopper, manipulator, quadruped, stacker)
-    #: override this with "acc".
+    #: Deepest pipeline stage the task reads from Data in observation,
+    #: REWARD, and TERMINATION (BatchEnv computes all three from the
+    #: same post-step recompute): "vel" = position+velocity fields and
+    #: pos/vel-stage sensors only (the suite default — most domains read
+    #: xpos/xmat/qvel and at most a subtreelinvel/velocimeter sensor),
+    #: "acc" = also needs constraint-dependent values (touch/force/
+    #: accelerometer sensordata, contact forces, qacc).  BatchEnv trims
+    #: its per-control-step recompute accordingly (rl/batch_env.py
+    #: _observe); the host path always runs the full pipeline like the
+    #: reference.  Domains reading acc-stage sensors (dog, finger,
+    #: hopper, manipulator, quadruped, stacker) override this with
+    #: "acc" — a subclass whose reward or termination reads acc-stage
+    #: values must do the same or those reads see stale/zero data.
     observation_stages = "vel"
 
     # -- named model/data accessors (static index resolution) ---------------

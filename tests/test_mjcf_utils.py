@@ -201,9 +201,29 @@ def test_element_attach_root_and_collision_rejection():
         raise AssertionError("expected a namescope collision error")
 
 
-def test_attachment_frame_detach():
+def test_attachment_frame_detach_restores_compilable_model():
+    import dm_control_tpu.mjcf as mjcf
+
     arm = _arm_model()
     frame = arm.attach(_hand_model(), prefix="h1/")
     assert arm.find("body", "h1/palm") is not None
     frame.detach()
     assert arm.find("body", "h1/palm") is None
+    # the merged namescoped actuator must be swept too, and the model
+    # must compile again (a dangling joint reference would fail)
+    assert arm.find("motor", "h1/knuckle_motor") is None
+    m = mjcf.compile_model(arm)
+    assert m.nu == 1 and m.njnt == 1
+
+
+def test_site_attach_honors_euler_orientation():
+    import dm_control_tpu.mjcf as mjcf
+
+    arm = _arm_model()
+    base = arm.first("worldbody").first("body")
+    tilted = base.add("site", name="tilted", pos="0 0.1 0", euler="0 0 90")
+    frame = tilted.attach(_hand_model())
+    assert frame.get("pos") == "0 0.1 0"
+    assert frame.get("euler") == "0 0 90"
+    m = mjcf.compile_model(arm)
+    assert m.nu == 2
