@@ -259,6 +259,11 @@ class Duplo(composer.Entity):
         """(2, 4) array of hole site elements (engagement partners)."""
         return self._holes
 
+    def position(self, physics):
+        """World position of the brick's attachment frame."""
+        pos, _quat = self.get_pose(physics)
+        return np.asarray(pos)
+
     def _sensor(self, physics, name):
         frame = self.attachment_frame
         prefix = ""

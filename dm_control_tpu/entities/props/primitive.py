@@ -45,8 +45,9 @@ class Primitive(composer.Entity):
 
 
 class Brick(Primitive):
-    """A stackable box brick (simplified stand-in for the reference's
-    studded Duplo, dm_control/entities/props/duplo/)."""
+    """A plain stackable box brick.  The manipulation tasks use the real
+    stud-coupling Duplo (entities/props/duplo); this cheaper primitive
+    remains for custom tasks that don't need snap dynamics."""
 
     def _build(self, size=(0.04, 0.02, 0.015), mass=0.05, name="brick"):
         super()._build(geom_type="box", size=size, mass=mass, name=name,

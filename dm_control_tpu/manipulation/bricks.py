@@ -1,30 +1,30 @@
 """Brick stacking / reassembly tasks
 (reference: dm_control/manipulation/bricks.py:200-690).
 
-The reference's Duplo bricks snap via stud geometry; the primitive Brick
-(entities/props/primitive.py) substitutes flat boxes with high friction,
-and the stacking reward measures geometric alignment of each consecutive
-pair in the target order instead of stud engagement.
+Uses the stud-coupling Duplo prop (entities/props/duplo): bricks snap
+together via geometric stud/tube interference, and the stacking reward
+measures the stud-to-hole engagement of each consecutive pair in the
+target order (the reference's `_StackReward` closeness measure).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from dm_control_tpu.entities.props.primitive import Brick
+from dm_control_tpu.entities.props.duplo import BRICK_HEIGHT, Duplo
 from dm_control_tpu.manipulation.shared import registry
 from dm_control_tpu.manipulation.shared import observations as obs_mod
 from dm_control_tpu.manipulation.shared import workspaces
 from dm_control_tpu.manipulation.shared.task import ArmTask
 from dm_control_tpu.utils import rewards
 
-_ALIGN_RADIUS = 0.02
+#: a stud is "engaged" when it sits within this distance of its hole
+_ALIGN_RADIUS = 0.005
 
 _PROP_BOX = workspaces.BoundingBox(
     lower=(-0.2, -0.1, 0.0), upper=(0.2, 0.15, 0.0))
 
-_COLORS = ((1, 0, 0, 1), (0, 1, 0, 1), (0, 0, 1, 1),
-           (1, 1, 0, 1), (0, 1, 1, 1))
+_COLORS = ((1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0), (0, 1, 1))
 
 
 class Stack(ArmTask):
@@ -41,13 +41,12 @@ class Stack(ArmTask):
         self._reassemble = reassemble
         self._bricks = []
         for i in range(n_bricks):
-            brick = Brick(name=f"brick_{i}")
-            brick.geom.attrib["rgba"] = " ".join(map(str, _COLORS[i]))
+            brick = Duplo(color=_COLORS[i], name=f"brick_{i}")
             if i == 0 and not moveable_base:
                 # fixed base brick welded to the arena
                 # (reference bricks.py:596 fixed-base variants)
                 frame = self._arena.attach(brick)
-                frame.attrib["pos"] = "0.1 0.1 0.015"
+                frame.attrib["pos"] = "0.1 0.1 0"
             else:
                 self._add_free_prop(brick)
             if self._obs_settings.prop_pose.enabled:
@@ -65,12 +64,13 @@ class Stack(ArmTask):
         free = [b for i, b in enumerate(self._bricks)
                 if not (i == 0 and not self._moveable_base)]
         if self._reassemble:
-            # start pre-stacked in index order; target order differs
+            # start pre-stacked (studs engaged) in index order; the
+            # target order differs
             base = np.array([0.0, 0.1, 0.0])
             for k, brick in enumerate(free):
                 brick.set_pose(
                     physics,
-                    position=base + [0, 0, 0.015 + 0.03 * k],
+                    position=base + [0, 0, BRICK_HEIGHT * k],
                     quaternion=(1, 0, 0, 0))
             if not self._randomize_order:
                 # fixed reassembly order: reversed initial order
@@ -78,22 +78,28 @@ class Stack(ArmTask):
         else:
             for brick in free:
                 pos = workspaces.uniform_in_box(_PROP_BOX, random_state)
-                pos[2] = 0.015
+                pos[2] = 0.0
                 brick.set_pose(physics, position=pos,
                                quaternion=(1, 0, 0, 0))
 
+    def _brick_position(self, physics, index):
+        pos, _quat = self._bricks[index].get_pose(physics)
+        return np.asarray(pos)
+
     def get_reward(self, physics):
-        # alignment of each consecutive (bottom, top) pair in target order
+        # stud/hole engagement of each consecutive (bottom, top) pair in
+        # the target order: when snapped, the top brick's origin sits one
+        # brick height above the bottom brick's
         pair_rewards = []
         for bottom_i, top_i in zip(self._order[:-1], self._order[1:]):
-            bottom = self._bricks[bottom_i].position(physics)
-            top = self._bricks[top_i].position(physics)
-            target = bottom + np.array([0.0, 0.0, 0.03])
+            bottom = self._brick_position(physics, bottom_i)
+            top = self._brick_position(physics, top_i)
+            target = bottom + np.array([0.0, 0.0, BRICK_HEIGHT])
             dist = float(np.linalg.norm(top - target))
             pair_rewards.append(rewards.tolerance(
-                dist, bounds=(0, _ALIGN_RADIUS), margin=0.1))
+                dist, bounds=(0, _ALIGN_RADIUS), margin=0.05))
         stack = float(np.mean(pair_rewards)) if pair_rewards else 0.0
-        top_brick = self._bricks[self._order[-1]].position(physics)
+        top_brick = self._brick_position(physics, self._order[-1])
         reach_dist = float(np.linalg.norm(
             self._pinch_position(physics) - top_brick))
         reach = rewards.tolerance(reach_dist, bounds=(0, 0.05), margin=0.4)

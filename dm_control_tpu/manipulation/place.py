@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from dm_control_tpu.entities.props.primitive import Brick, Primitive
+from dm_control_tpu.entities.props.duplo import Duplo
+from dm_control_tpu.entities.props.primitive import Primitive
 from dm_control_tpu.manipulation.shared import constants, registry
 from dm_control_tpu.manipulation.shared import observations as obs_mod
 from dm_control_tpu.manipulation.shared import workspaces
@@ -47,8 +48,11 @@ class Place(ArmTask):
                                    friction="1.5 0.01 0.001")
             target_z = 0.075 + 0.08 + 0.02
         else:
-            self._prop = Brick(name="brick")
-            target_z = 0.075 + 0.075 + 0.015
+            # the brick is a real stud-coupling Duplo (reference
+            # place.py:255); its free-joint origin is at its base, so
+            # the resting origin sits exactly on the pedestal top
+            self._prop = Duplo(name="brick")
+            target_z = 0.075 + 0.075
         self._placement_site = ped.add(
             "site", name="placement", type="sphere",
             pos=f"0 0 {target_z - 0.075}", size=str(_TARGET_RADIUS),

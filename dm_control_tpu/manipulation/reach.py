@@ -1,8 +1,8 @@
 """Reach tasks (reference: dm_control/manipulation/reach.py:61-200).
 
 ``reach_site``: move the pinch site to a target site.
-``reach_duplo``: move the pinch site to a free brick prop
-(Duplo replaced by the primitive Brick — see entities/props/primitive.py).
+``reach_duplo``: move the pinch site to a free Duplo brick
+(entities/props/duplo — real stud-coupling geometry).
 """
 
 from __future__ import annotations
@@ -10,7 +10,7 @@ from __future__ import annotations
 import numpy as np
 
 from dm_control_tpu.composer.observation.observable import Generic
-from dm_control_tpu.entities.props.primitive import Brick
+from dm_control_tpu.entities.props.duplo import Duplo
 from dm_control_tpu.manipulation.shared import constants, registry
 from dm_control_tpu.manipulation.shared import observations as obs_mod
 from dm_control_tpu.manipulation.shared import workspaces
@@ -42,7 +42,7 @@ class Reach(ArmTask):
                 rgba=" ".join(map(str, constants.RED)),
                 group=str(constants.TASK_SITE_GROUP))
         else:
-            self._prop = Brick(name="brick")
+            self._prop = Duplo(name="brick")
             self._add_free_prop(self._prop)
             if self._obs_settings.prop_pose.enabled:
                 self._prop.observables.enable_all()

@@ -58,11 +58,12 @@ def _make_manipulation(name):
 
         return Reach(use_site=True,
                      obs_settings=observations.PERFECT_FEATURES)
-    from dm_control_tpu.manipulation.lift import Lift
-    from dm_control_tpu.entities.props.primitive import Brick
+    from dm_control_tpu.manipulation.lift import (
+        Lift, _DuploWithVertexSites,
+    )
     from dm_control_tpu.manipulation.shared import observations
 
-    return Lift(Brick(name="brick"),
+    return Lift(_DuploWithVertexSites(name="brick"),
                 obs_settings=observations.PERFECT_FEATURES)
 
 

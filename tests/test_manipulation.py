@@ -83,7 +83,9 @@ def test_lift_brick_settles_and_reward_zero_at_rest():
         ts = env.step(np.zeros(spec.shape))
     z = float(ts.observation["brick/position"][2])
     assert 0.01 < z < 0.05  # resting on the ground, not launched
-    assert ts.reward < 0.05
+    # the lift term must be ~0; the 0.2-weighted reach-shaping term can
+    # contribute up to ~0.08 depending on where the duplo spawned
+    assert ts.reward < 0.1
 
 
 def test_reach_reward_increases_near_target():
