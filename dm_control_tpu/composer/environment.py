@@ -102,10 +102,10 @@ class Environment(dm_env.Environment):
 
     def _reset_attempt(self):
         self._task.initialize_episode_mjcf(self._random_state)
-        if self._recompile_every_episode:
-            self._recompile_physics()
         for entity in self._task.root_entity.iter_entities():
             entity.initialize_episode_mjcf(self._random_state)
+        if self._recompile_every_episode:
+            self._recompile_physics()
         self._task.after_compile(self._physics, self._random_state)
 
         with self._physics.reset_context():

@@ -138,10 +138,12 @@ def _make_duplo_model(color):
     for r, x in enumerate((-0.0135, 0.0135)):
         for c, y in enumerate(_COLS_Y):
             geom(f"flange_{r}{c}", "flange", pos=_fmt(x, y, 0.00885))
-    # ...and across the short (y) faces
+    # ...and across the short (y) faces (same 0.05 mm wedge offset as
+    # the studs — these are active contact geoms when flanges=True)
     for r, x in enumerate(_ROWS_X):
+        fx = x - 0.00005 if x < 0 else x + 0.00005
         for c, y in enumerate((-0.02945, 0.02945)):
-            geom(f"flange_{r}{c}y", "flange", pos=_fmt(x, y, 0.00885),
+            geom(f"flange_{r}{c}y", "flange", pos=_fmt(fx, y, 0.00885),
                  quat="1 0 0 1")
     # hollow tubes down the centerline — the stud wedge partners
     for i, y in enumerate((-0.016, 0.0, 0.016)):
@@ -204,6 +206,7 @@ class Duplo(composer.Entity):
             _instance_count += 1
         self._mjcf_root.attrib["model"] = name
 
+        self._easy_align = easy_align
         stud = _find_default(self._mjcf_root, "stud")
         if easy_align:
             # hide the cylinder studs from contact, activate capsules
@@ -211,8 +214,10 @@ class Duplo(composer.Entity):
             g.attrib.update(group="3", contype="9", conaffinity="8")
             cap = _find_default(self._mjcf_root, "stud-capsule")
             cg = cap.first("geom")
+            # capsules stay massless (mass="0"): the hidden cylinder
+            # studs already carry the density-derived stud mass, so
+            # giving the capsules mass would double-count ~1.3 g
             cg.attrib.update(group="0", contype="0", conaffinity="4")
-            cg.attrib.pop("mass", None)
             self._active_stud_geom = cg
         else:
             self._active_stud_geom = stud.first("geom")
@@ -236,7 +241,13 @@ class Duplo(composer.Entity):
                     "site", f"hole_{r}{c}")
 
     def set_stud_radius(self, radius):
-        """Sets the active stud radius (modulates separation force)."""
+        """Sets the active stud radius on THIS entity's element tree.
+
+        Only effective before the brick is attached/compiled: Entity.attach
+        deep-copies the tree, so post-attach edits here never reach the
+        compiled model.  Use :meth:`apply_stud_radius` (a model-array
+        write) for per-episode changes after compilation.
+        """
         length = str(self._active_stud_geom.attrib["size"]).split()[1]
         self._active_stud_geom.attrib["size"] = f"{radius:.6g} {length}"
 
@@ -245,9 +256,47 @@ class Duplo(composer.Entity):
         return float(
             str(self._active_stud_geom.attrib["size"]).split()[0])
 
-    def initialize_episode_mjcf(self, random_state):
-        """Randomizes stud radius (and therefore separation force)."""
-        self.set_stud_radius(random_state.uniform(self._lower, self._upper))
+    def _stud_geom_ids(self, model):
+        """Compiled-model geom ids of the 8 active stud geoms, resolving
+        the attach prefix ('<name>/stud_00' after Entity.attach)."""
+        base = "studcap" if self._easy_align else "stud"
+        prefix = str(self._mjcf_root.attrib.get("model", "")) + "/"
+        if prefix + f"{base}_00" not in model.names.geom:
+            prefix = ""  # compiled standalone (no attach prefix)
+        return [model.names.geom[f"{prefix}{base}_{r}{c}"]
+                for r in range(2) for c in range(4)]
+
+    def apply_stud_radius(self, physics, radius):
+        """Writes the stud radius into the COMPILED model arrays.
+
+        The TPU engine compiles the MJCF tree once at environment
+        construction; per-episode geometry changes are expressed as
+        model-array (value-only) updates so the jitted step program's
+        shapes are unchanged.  Updates geom_size and the broadphase
+        bounding radius consistently with the compiler
+        (mjcf/compiler.py geom-rbound rules).
+        """
+        import jax.numpy as jnp
+
+        m = physics.model
+        ids = self._stud_geom_ids(m)
+        size = np.asarray(m.geom_size).copy()
+        rbound = np.asarray(m.geom_rbound).copy()
+        size[ids, 0] = radius
+        half = size[ids, 1]
+        if self._easy_align:  # capsule: r + half-length
+            rbound[ids] = radius + half
+        else:  # cylinder: corner distance
+            rbound[ids] = np.sqrt(radius ** 2 + half ** 2)
+        physics._model = m.replace(geom_size=jnp.asarray(size),
+                                   geom_rbound=jnp.asarray(rbound))
+        physics.mark_as_dirty()
+
+    def initialize_episode(self, physics, random_state):
+        """Randomizes stud radius (and therefore separation force) —
+        applied to the compiled model so it works after attach."""
+        self.apply_stud_radius(
+            physics, random_state.uniform(self._lower, self._upper))
 
     @property
     def studs(self):

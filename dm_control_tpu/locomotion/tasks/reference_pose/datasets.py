@@ -1,71 +1,58 @@
-"""Clip-dataset registry (reference: tasks/reference_pose/datasets.py +
-cmu_subsets.py).
+"""Clip-dataset registry (reference: tasks/reference_pose/datasets.py).
 
-The reference ships 1,289 lines of hard-coded CMU clip-id lists; here the
-registry is programmatic: named subsets are predicates over a loader's
-available clip ids, so the same subset names work for the real CMU h5
-(when present via $CMU_MOCAP_DIR) and for synthetic banks.
+``DATASETS`` maps subset names to explicit :class:`ClipCollection` id
+lists, exactly as the reference does: the canonical CMU subsets
+(walk_tiny, run_jump_tiny, get_up, locomotion_small, all) name the same
+opaque 'CMU_###_##' clip ids as the reference's curated registry
+(cmu_subsets.py, regenerated here by _cmu_subsets_gen.py).  Additional
+named subsets can be registered at runtime.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 from dm_control_tpu.locomotion.mocap.types import ClipCollection
+from dm_control_tpu.locomotion.tasks.reference_pose import cmu_subsets
 
-# canonical CMU subset names (reference cmu_subsets.py CMU_SUBSETS_DICT)
-_SUBSET_PREDICATES: Dict[str, Callable[[str], bool]] = {}
-_REGISTERED: Dict[str, ClipCollection] = {}
+DATASETS: Dict[str, ClipCollection] = dict(cmu_subsets.CMU_SUBSETS_DICT)
 
 
-def register_subset(name: str,
-                    predicate: Optional[Callable[[str], bool]] = None,
-                    ids: Optional[Sequence[str]] = None) -> None:
-    """Registers a named subset either as explicit clip ids or as a
-    predicate evaluated against a loader's keys."""
-    if (predicate is None) == (ids is None):
-        raise ValueError("Provide exactly one of predicate or ids.")
-    if ids is not None:
-        _REGISTERED[name] = ClipCollection(ids=tuple(ids))
-    else:
-        _SUBSET_PREDICATES[name] = predicate
+def register_subset(name: str, ids: Sequence[str]) -> None:
+    """Registers a named subset as an explicit clip-id list."""
+    DATASETS[name] = ClipCollection(ids=tuple(ids))
 
 
 def get_dataset(name: str, loader=None) -> ClipCollection:
-    """Resolves a registered dataset name into a ClipCollection
-    (reference datasets.py DATASETS registry)."""
-    if name in _REGISTERED:
-        return _REGISTERED[name]
-    if name in _SUBSET_PREDICATES:
-        if loader is None:
-            raise ValueError(
-                f"Subset {name!r} is predicate-based: pass the loader "
-                f"whose clips it filters.")
-        ids = tuple(k for k in loader.keys()
-                    if _SUBSET_PREDICATES[name](k))
-        if not ids:
-            raise ValueError(
-                f"Subset {name!r} matched no clips in the loader.")
-        return ClipCollection(ids=ids)
-    raise KeyError(
-        f"Unknown dataset {name!r}; registered: "
-        f"{sorted(set(_REGISTERED) | set(_SUBSET_PREDICATES))}")
+    """Resolves a registered dataset name into a ClipCollection.
+
+    With ``loader``, the returned collection is restricted to the clips
+    the loader actually has — and it is an error if the intersection is
+    empty (a registry/dataset mismatch, e.g. synthetic bank keys against
+    the CMU subset names).
+    """
+    try:
+        collection = DATASETS[name]
+    except KeyError:
+        raise KeyError(f"Unknown dataset {name!r}; registered: "
+                       f"{sorted(DATASETS)}") from None
+    if loader is None:
+        return collection
+    have = set(loader.keys())
+    ids = tuple(cid for cid in collection.ids if cid in have)
+    if not ids:
+        raise ValueError(
+            f"Dataset {name!r} shares no clip ids with the loader "
+            f"(registry ids like {collection.ids[:2]}, loader keys like "
+            f"{sorted(have)[:2]}).")
+    return ClipCollection(ids=ids)
+
+
+def available(loader) -> ClipCollection:
+    """Everything a loader ships, as a collection (for synthetic banks
+    whose keys are not CMU database ids)."""
+    return ClipCollection(ids=tuple(loader.keys()))
 
 
 def names() -> Sequence[str]:
-    return sorted(set(_REGISTERED) | set(_SUBSET_PREDICATES))
-
-
-# The reference's canonical subset names.  With the real CMU dataset the
-# ids follow the 'CMU_###_##' scheme; the predicates keep those names
-# resolvable against any loader (incl. synthetic test banks).
-register_subset("all", predicate=lambda cid: True)
-register_subset("walk_tiny", predicate=lambda cid: "walk" in cid.lower())
-register_subset("run_jump_tiny",
-                predicate=lambda cid: any(k in cid.lower()
-                                          for k in ("run", "jump")))
-register_subset("get_up", predicate=lambda cid: "get_up" in cid.lower())
-register_subset("locomotion_small",
-                predicate=lambda cid: any(k in cid.lower()
-                                          for k in ("walk", "run", "jump",
-                                                    "turn")))
+    return sorted(DATASETS)

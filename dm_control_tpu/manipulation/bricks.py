@@ -21,6 +21,10 @@ from dm_control_tpu.utils import rewards
 #: a stud is "engaged" when it sits within this distance of its hole
 _ALIGN_RADIUS = 0.005
 
+#: minimum XY center separation between spawned bricks — the 2x4 brick's
+#: half-diagonal is ~36 mm, so 80 mm guarantees disjoint footprints
+_MIN_SEPARATION = 0.08
+
 _PROP_BOX = workspaces.BoundingBox(
     lower=(-0.2, -0.1, 0.0), upper=(0.2, 0.15, 0.0))
 
@@ -76,9 +80,21 @@ class Stack(ArmTask):
                 # fixed reassembly order: reversed initial order
                 self._order = list(reversed(self._order))
         else:
+            # rejection-resample so no free brick spawns interpenetrating
+            # another brick or the welded base at (0.1, 0.1) — with the
+            # stiff snap-contact model an overlapping spawn injects large
+            # forces at episode start (the reference settles via
+            # PropPlacer; here spawn positions are simply kept disjoint)
+            placed = ([] if self._moveable_base
+                      else [np.array([0.1, 0.1, 0.0])])
             for brick in free:
-                pos = workspaces.uniform_in_box(_PROP_BOX, random_state)
-                pos[2] = 0.0
+                for _attempt in range(100):
+                    pos = workspaces.uniform_in_box(_PROP_BOX, random_state)
+                    pos[2] = 0.0
+                    if all(np.linalg.norm(pos[:2] - p[:2]) > _MIN_SEPARATION
+                           for p in placed):
+                        break
+                placed.append(pos)
                 brick.set_pose(physics, position=pos,
                                quaternion=(1, 0, 0, 0))
 

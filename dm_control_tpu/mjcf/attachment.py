@@ -53,6 +53,15 @@ def attach_model(root: Element, child_root: Element, prefix: str,
     """
     if copy_child:
         child_root = copy.deepcopy(child_root)
+    # canonicalize BOTH trees to radians before merging: the merged tree
+    # compiles under one <compiler angle> setting, so a radian child
+    # under a degree root (or vice versa) would silently re-interpret
+    # every angle attribute (PyMJCF avoids this by canonicalizing to
+    # radians at parse time; see mjcf/units.py)
+    from dm_control_tpu.mjcf.units import to_radians
+
+    to_radians(root)
+    to_radians(child_root)
     prefix_tree(child_root, prefix)
 
     own_names = {(e.tag, e.attrib["name"]) for e in root.iter()

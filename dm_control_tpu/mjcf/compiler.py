@@ -944,7 +944,12 @@ class _Compiler:
         """Static broadphase: candidate geom pairs after all static filters.
 
         Mirrors mj_collision's filtering (same-body, weld, parent-child via
-        mjDSBL_FILTERPARENT, contype/conaffinity bitmasks, <exclude>).
+        mjDSBL_FILTERPARENT, contype/conaffinity bitmasks, <exclude>),
+        plus a compile-time reachability sweep (``_pair_reachable``): a
+        pair whose geoms provably can never touch under any joint
+        configuration gets no contact rows at all — the static-shape
+        analogue of the per-step broadphase culling native mj_step does
+        (dm_control/mujoco/engine.py:161-166).
         """
         nb = len(self.bodies)
         parent = [b["parentid"] for b in self.bodies]
@@ -955,6 +960,8 @@ class _Compiler:
         excl = {tuple(sorted(p)) for p in self.excludes}
         pairs = []
         ng = len(self.geoms)
+        prune = _reach_prune_enabled()
+        ball_cache = {}
         for i in range(ng):
             for k in range(i + 1, ng):
                 g1, g2 = self.geoms[i], self.geoms[k]
@@ -973,12 +980,92 @@ class _Compiler:
                 if not ((g1["contype"] & g2["conaffinity"]) or
                         (g2["contype"] & g1["conaffinity"])):
                     continue
+                if prune and not self._pair_reachable(i, k, ball_cache):
+                    continue
                 # order so the lower type id comes first (plane first, etc.)
                 if t1 <= t2:
                     pairs.append((i, k))
                 else:
                     pairs.append((k, i))
         return tuple(pairs)
+
+    # -- compile-time reachability sweep ------------------------------------
+    #
+    # For each candidate pair, bound each geom by a ball whose center is
+    # FIXED in the frame of the pair's lowest common ancestor body and
+    # whose radius covers every joint configuration of the bodies in
+    # between (full rotation for unlimited hinge/ball joints; range +
+    # generous soft-limit slack for limited ones).  If the two balls can
+    # never intersect, the pair can never produce a contact.
+
+    def _body_depths(self):
+        if not hasattr(self, "_depth_cache") or len(
+                self._depth_cache) != len(self.bodies):
+            depth = [0] * len(self.bodies)
+            for i in range(1, len(self.bodies)):
+                depth[i] = depth[self.bodies[i]["parentid"]] + 1
+            self._depth_cache = depth
+        return self._depth_cache
+
+    def _lca(self, b1, b2):
+        depth = self._body_depths()
+        while depth[b1] > depth[b2]:
+            b1 = self.bodies[b1]["parentid"]
+        while depth[b2] > depth[b1]:
+            b2 = self.bodies[b2]["parentid"]
+        while b1 != b2:
+            b1 = self.bodies[b1]["parentid"]
+            b2 = self.bodies[b2]["parentid"]
+        return b1
+
+    def _geom_ball_to(self, gid, ancestor, cache):
+        """Ball (center, radius) in ``ancestor``'s frame containing geom
+        ``gid`` under EVERY joint configuration of the bodies strictly
+        below ancestor; None if unbounded (free joint / unlimited slide).
+        """
+        key = (gid, ancestor)
+        if key in cache:
+            return cache[key]
+        g = self.geoms[gid]
+        c = np.array(g["pos"], dtype=np.float64)
+        c = c.copy()
+        r = _geom_rbound(int(g["type"]), g["size"]) + float(g["margin"])
+        b = g["bodyid"]
+        out = None
+        while True:
+            if b == ancestor:
+                out = (c, r)
+                break
+            body = self.bodies[b]
+            ok = True
+            # joints on this body act in the child frame, innermost last
+            # in document order → process in reverse when lifting out
+            for j in reversed(range(body["jntadr"],
+                                    body["jntadr"] + body["jntnum"])):
+                jnt = self.joints[j]
+                c, r, ok = _joint_ball_sweep(jnt, c, r)
+                if not ok:
+                    break
+            if not ok:
+                break
+            c = body["pos"] + _quat_rot(body["quat"], c)
+            b = body["parentid"]
+        cache[key] = out
+        return out
+
+    def _pair_reachable(self, i, k, cache):
+        """False only when geoms i and k provably can never touch."""
+        g1, g2 = self.geoms[i], self.geoms[k]
+        # planes/hfields are unbounded: never prune
+        if int(g1["type"]) <= 1 or int(g2["type"]) <= 1:
+            return True
+        a = self._lca(g1["bodyid"], g2["bodyid"])
+        ball1 = self._geom_ball_to(i, a, cache)
+        ball2 = self._geom_ball_to(k, a, cache)
+        if ball1 is None or ball2 is None:
+            return True
+        (c1, r1), (c2, r2) = ball1, ball2
+        return float(np.linalg.norm(c1 - c2)) <= r1 + r2 + 1e-9
 
     def _build_model(self) -> Model:
         dtype = self.dtype
@@ -1262,6 +1349,90 @@ class _Compiler:
             names=names,
         )
         return m
+
+
+# ---------------------------------------------------------------------------
+# reachability-sweep helpers (host-side, float64).
+# ---------------------------------------------------------------------------
+
+#: soft joint limits can be violated transiently; limited joints get this
+#: much extra travel on each side before a pair is declared unreachable
+_REACH_SLACK_ANGLE = 0.35  # rad (~20 deg)
+_REACH_SLACK_FRAC = 0.5    # plus 50% of the half-range
+
+
+def _reach_prune_enabled() -> bool:
+    import os
+
+    return os.environ.get("DMCT_REACH_PRUNE", "1") != "0"
+
+
+def _geom_rbound(gtype: int, size) -> float:
+    """Bounding radius about the geom frame origin (same rules as the
+    Model's geom_rbound assembly)."""
+    s = np.asarray(size, dtype=np.float64)
+    t = GeomType(gtype)
+    if t in (GeomType.PLANE, GeomType.HFIELD):
+        return 0.0
+    if t == GeomType.SPHERE:
+        return float(s[0])
+    if t == GeomType.CAPSULE:
+        return float(s[0] + s[1])
+    if t == GeomType.CYLINDER:
+        return float(math.sqrt(s[0] ** 2 + s[1] ** 2))
+    if t == GeomType.BOX:
+        return float(np.linalg.norm(s))
+    return float(np.max(s))
+
+
+def _joint_ball_sweep(jnt, c, r):
+    """Transforms a containing ball (c, r) through one joint's motion.
+
+    Returns (c', r', bounded): the smallest easily-computed ball holding
+    every placement of the input ball over the joint's (slack-extended)
+    travel.  bounded=False means the joint's travel is unbounded and the
+    caller must keep the pair.
+    """
+    t = JointType(jnt["type"])
+    if t == JointType.FREE:
+        return c, r, False
+    jp = np.asarray(jnt["pos"], dtype=np.float64)
+    axis = np.asarray(jnt["axis"], dtype=np.float64)
+    if t == JointType.SLIDE:
+        if not jnt["limited"]:
+            return c, r, False
+        lo, hi = float(jnt["range"][0]), float(jnt["range"][1])
+        ref = float(jnt.get("ref", 0.0))
+        mid, half = (lo + hi) / 2.0 - ref, (hi - lo) / 2.0
+        half += _REACH_SLACK_FRAC * half + 0.02  # soft-limit slack (+2 cm)
+        return c + axis * mid, r + half, True
+    v = c - jp
+    if t == JointType.BALL:
+        amax = (float(jnt["range"][1]) if jnt["limited"] else math.pi)
+        amax = min(math.pi, amax + _REACH_SLACK_ANGLE
+                   + _REACH_SLACK_FRAC * amax)
+        if amax >= math.pi:  # full rotation: ball about the anchor
+            return jp, r + float(np.linalg.norm(v)), True
+        return c, r + 2.0 * float(np.linalg.norm(v)) * math.sin(amax / 2), True
+    # HINGE: rotation about `axis` through jp by q - ref, q in range
+    if not jnt["limited"]:
+        # axial component is invariant; radial sweeps a full circle
+        a = axis / max(float(np.linalg.norm(axis)), _MINVAL)
+        v_par = a * float(np.dot(v, a))
+        v_perp = v - v_par
+        return jp + v_par, r + float(np.linalg.norm(v_perp)), True
+    lo, hi = float(jnt["range"][0]), float(jnt["range"][1])
+    ref = float(jnt.get("ref", 0.0))
+    mid, half = (lo + hi) / 2.0 - ref, (hi - lo) / 2.0
+    half += _REACH_SLACK_ANGLE + _REACH_SLACK_FRAC * half
+    a = axis / max(float(np.linalg.norm(axis)), _MINVAL)
+    if half >= math.pi:
+        v_par = a * float(np.dot(v, a))
+        return jp + v_par, r + float(np.linalg.norm(v - v_par)), True
+    c_mid = jp + _quat_rot(_axis_angle_quat(a, mid), v)
+    v_perp = v - a * float(np.dot(v, a))
+    chord = 2.0 * float(np.linalg.norm(v_perp)) * math.sin(half / 2.0)
+    return c_mid, r + chord, True
 
 
 # ---------------------------------------------------------------------------

@@ -1,45 +1,36 @@
-"""Adds Gaussian action noise (reference: dm_control/suite/wrappers/
-action_noise.py:26)."""
+"""Gaussian exploration noise on the action channel.
+
+Behavioral parity with dm_control/suite/wrappers/action_noise.py:
+zero-mean Gaussian noise with per-dimension std ``scale * range`` is
+added to every action and the sum is clipped to the spec bounds.  The
+noise draw comes from the environment's episode RandomState (this
+engine's Environment owns it directly; the reference reaches through
+``task.random``).
+"""
 
 from __future__ import annotations
 
-import dm_env
 import numpy as np
 
-_BOUNDS_MUST_BE_FINITE = (
-    "All bounds in `env.action_spec()` must be finite, got: {action_spec}")
+from dm_control_tpu.suite.wrappers.base import DelegatingWrapper
 
 
-class Wrapper(dm_env.Environment):
-    """Adds zero-mean Gaussian noise scaled by the action range."""
+class Wrapper(DelegatingWrapper):
+    """Perturbs each action with clipped Gaussian noise."""
 
     def __init__(self, env, scale=0.01):
-        action_spec = env.action_spec()
-        if not (np.all(np.isfinite(action_spec.minimum))
-                and np.all(np.isfinite(action_spec.maximum))):
+        super().__init__(env)
+        spec = env.action_spec()
+        lo = np.asarray(spec.minimum)
+        hi = np.asarray(spec.maximum)
+        if not (np.isfinite(lo).all() and np.isfinite(hi).all()):
             raise ValueError(
-                _BOUNDS_MUST_BE_FINITE.format(action_spec=action_spec))
-        self._minimum = action_spec.minimum
-        self._maximum = action_spec.maximum
-        self._noise_std = scale * (action_spec.maximum - action_spec.minimum)
-        self._env = env
+                "action_noise.Wrapper needs finite action bounds to scale "
+                f"the noise; got spec {spec}")
+        self._lo, self._hi = lo, hi
+        self._std = scale * (hi - lo)
 
     def step(self, action):
-        # the reference draws from task.random; our Environment owns the
-        # episode RandomState directly
-        noisy_action = action + self._env.random_state.normal(
-            scale=self._noise_std)
-        np.clip(noisy_action, self._minimum, self._maximum, out=noisy_action)
-        return self._env.step(noisy_action)
-
-    def reset(self):
-        return self._env.reset()
-
-    def observation_spec(self):
-        return self._env.observation_spec()
-
-    def action_spec(self):
-        return self._env.action_spec()
-
-    def __getattr__(self, name):
-        return getattr(self._env, name)
+        draw = self._env.random_state.normal(size=np.shape(self._std))
+        perturbed = np.clip(action + draw * self._std, self._lo, self._hi)
+        return self._env.step(perturbed)

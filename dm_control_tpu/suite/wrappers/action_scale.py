@@ -1,75 +1,65 @@
-"""Rescales action bounds (reference: dm_control/suite/wrappers/
-action_scale.py:29)."""
+"""Affine remapping of the action interface onto new bounds.
+
+Behavioral parity with dm_control/suite/wrappers/action_scale.py: the
+wrapper advertises ``[minimum, maximum]`` as its action bounds and maps
+incoming actions affinely onto the wrapped environment's native bounds.
+Implementation differs: the affine map is precomputed once as dense
+``gain``/``bias`` arrays at the spec's full shape (one fused
+multiply-add per step) rather than closed over spec fields.
+"""
 
 from __future__ import annotations
 
-import dm_env
-from dm_env import specs
 import numpy as np
+from dm_env import specs
 
-_ACTION_SPEC_MUST_BE_BOUNDED_ARRAY = (
-    "`env.action_spec()` must return a single `BoundedArray`, got: {}.")
-_MUST_BE_FINITE = "All values in `{name}` must be finite, got: {bounds}."
-_MUST_BROADCAST = (
-    "`{name}` must be broadcastable to shape {shape}, got: {bounds}.")
+from dm_control_tpu.suite.wrappers.base import DelegatingWrapper
 
 
-class Wrapper(dm_env.Environment):
-    """Maps actions from [minimum, maximum] onto the wrapped env's bounds."""
+def _as_full_shape(value, shape, label):
+    """Validates and broadcasts a bounds array to the spec's full shape."""
+    arr = np.asarray(value)
+    if not np.isfinite(arr).all():
+        raise ValueError(f"{label} contains non-finite entries: {arr!r}")
+    try:
+        return np.broadcast_to(arr, shape)
+    except ValueError as exc:
+        raise ValueError(
+            f"{label} has shape {arr.shape}, not broadcastable to the "
+            f"action shape {shape}") from exc
 
-    __slots__ = ("_action_spec", "_env", "_transform")
+
+class Wrapper(DelegatingWrapper):
+    """Rescales actions from [minimum, maximum] to the env's own bounds."""
 
     def __init__(self, env, minimum, maximum):
-        action_spec = env.action_spec()
-        if not isinstance(action_spec, specs.BoundedArray):
+        super().__init__(env)
+        inner = env.action_spec()
+        if not isinstance(inner, specs.BoundedArray):
             raise ValueError(
-                _ACTION_SPEC_MUST_BE_BOUNDED_ARRAY.format(action_spec))
+                "action_scale.Wrapper needs a single BoundedArray action "
+                f"spec; the wrapped env returned {type(inner).__name__}: "
+                f"{inner}")
 
-        minimum = np.array(minimum)
-        maximum = np.array(maximum)
-        shape = action_spec.shape
-        orig_minimum = action_spec.minimum
-        orig_maximum = action_spec.maximum
-        orig_dtype = action_spec.dtype
+        lo = _as_full_shape(minimum, inner.shape, "minimum")
+        hi = _as_full_shape(maximum, inner.shape, "maximum")
+        inner_lo = _as_full_shape(inner.minimum, inner.shape,
+                                  "env.action_spec().minimum")
+        inner_hi = _as_full_shape(inner.maximum, inner.shape,
+                                  "env.action_spec().maximum")
 
-        def validate(bounds, name):
-            if not np.all(np.isfinite(bounds)):
-                raise ValueError(
-                    _MUST_BE_FINITE.format(name=name, bounds=bounds))
-            try:
-                np.broadcast_to(bounds, shape)
-            except ValueError:
-                raise ValueError(_MUST_BROADCAST.format(
-                    name=name, shape=shape, bounds=bounds)) from None
-
-        validate(orig_minimum, "env.action_spec().minimum")
-        validate(orig_maximum, "env.action_spec().maximum")
-        validate(minimum, "minimum")
-        validate(maximum, "maximum")
-
-        scale = (orig_maximum - orig_minimum) / (maximum - minimum)
-
-        def transform(action):
-            new_action = orig_minimum + scale * (action - minimum)
-            return new_action.astype(orig_dtype, copy=False)
-
-        dtype = np.result_type(minimum, maximum, orig_dtype)
-        self._action_spec = action_spec.replace(
-            minimum=minimum, maximum=maximum, dtype=dtype)
-        self._env = env
-        self._transform = transform
+        # action -> inner_lo + (action - lo) * gain, precomputed as a
+        # single multiply-add: a * gain + bias.
+        self._gain = (inner_hi - inner_lo) / (hi - lo)
+        self._bias = inner_lo - lo * self._gain
+        self._inner_dtype = inner.dtype
+        self._spec = inner.replace(
+            minimum=np.asarray(minimum), maximum=np.asarray(maximum),
+            dtype=np.result_type(lo, hi, inner.dtype))
 
     def step(self, action):
-        return self._env.step(self._transform(action))
-
-    def reset(self):
-        return self._env.reset()
-
-    def observation_spec(self):
-        return self._env.observation_spec()
+        mapped = np.asarray(action) * self._gain + self._bias
+        return self._env.step(mapped.astype(self._inner_dtype, copy=False))
 
     def action_spec(self):
-        return self._action_spec
-
-    def __getattr__(self, name):
-        return getattr(self._env, name)
+        return self._spec

@@ -36,14 +36,39 @@ def test_model_structure():
 
 
 def test_stud_radius_sampling_bounds():
-    brick = Duplo(variation=1.0)
+    """Per-episode radius randomization reaches the COMPILED model even
+    after attach (Entity.attach deep-copies the element tree, so tree
+    writes alone would be a silent no-op — advisor finding, round 4)."""
     sizes = _STUD_SIZE_PARAMS[(False, True)]
+    top, bottom = Duplo(variation=1.0), Duplo(variation=1.0)
+    arena, _frame = utils.stack_bricks(top, bottom)
+    physics = Physics.from_mjcf_model(arena.mjcf_model)
+    ids = top._stud_geom_ids(physics.model)
+    default = float(np.asarray(physics.model.geom_size)[ids[0], 0])
+    seen = set()
     for seed in range(5):
-        brick.initialize_episode_mjcf(np.random.RandomState(seed))
-        assert sizes.minimum <= brick.stud_radius <= sizes.maximum
-    fixed = Duplo(variation=0.0)
-    fixed.initialize_episode_mjcf(np.random.RandomState(0))
-    assert fixed.stud_radius == pytest.approx(sizes.lower_quartile)
+        top.initialize_episode(physics, np.random.RandomState(seed))
+        size = np.asarray(physics.model.geom_size)
+        rbound = np.asarray(physics.model.geom_rbound)
+        radii = size[ids, 0]
+        assert np.all(radii >= sizes.minimum - 1e-12)
+        assert np.all(radii <= sizes.maximum + 1e-12)
+        # all 8 studs share the draw; rbound stays consistent
+        assert len(set(radii.tolist())) == 1
+        np.testing.assert_allclose(
+            rbound[ids], np.sqrt(radii ** 2 + size[ids, 1] ** 2))
+        seen.add(float(radii[0]))
+    assert len(seen) > 1  # the draw actually varies
+    assert any(abs(r - default) > 1e-9 for r in seen)
+
+    # variation=0: deterministic lower-quartile radius
+    fixed_top, fixed_bottom = Duplo(variation=0.0), Duplo(variation=0.0)
+    arena2, _ = utils.stack_bricks(fixed_top, fixed_bottom)
+    physics2 = Physics.from_mjcf_model(arena2.mjcf_model)
+    fixed_top.initialize_episode(physics2, np.random.RandomState(0))
+    ids2 = fixed_top._stud_geom_ids(physics2.model)
+    got = float(np.asarray(physics2.model.geom_size)[ids2[0], 0])
+    assert got == pytest.approx(sizes.lower_quartile)
 
 
 def test_color_validation():

@@ -101,3 +101,75 @@ def test_wrappers():
     noisy.reset()
     ts = noisy.step(np.array([0.3]))
     assert np.isfinite(ts.reward)
+
+
+def test_action_scale_affine_map():
+    """Pins the rescaling math: new-bound endpoints land exactly on the
+    wrapped env's native bounds, midpoint on the native midpoint."""
+    from dm_env import specs
+
+    from dm_control_tpu.suite.wrappers import action_scale
+
+    class _Probe:
+        """Minimal env recording the action it receives."""
+
+        def __init__(self, lo, hi):
+            self._spec = specs.BoundedArray(
+                shape=(2,), dtype=np.float64, minimum=lo, maximum=hi)
+            self.seen = None
+
+        def action_spec(self):
+            return self._spec
+
+        def step(self, action):
+            self.seen = np.array(action)
+            return "ts"
+
+        def reset(self):
+            return "ts"
+
+        def observation_spec(self):
+            return {}
+
+    probe = _Probe(lo=[0.0, -2.0], hi=[4.0, 2.0])
+    w = action_scale.Wrapper(probe, minimum=-1, maximum=1)
+    spec = w.action_spec()
+    np.testing.assert_array_equal(spec.minimum, -1)
+    np.testing.assert_array_equal(spec.maximum, 1)
+    w.step(np.array([-1.0, -1.0]))
+    np.testing.assert_allclose(probe.seen, [0.0, -2.0])
+    w.step(np.array([1.0, 1.0]))
+    np.testing.assert_allclose(probe.seen, [4.0, 2.0])
+    w.step(np.array([0.0, 0.0]))
+    np.testing.assert_allclose(probe.seen, [2.0, 0.0])
+    assert probe.seen.dtype == np.float64
+
+    with pytest.raises(ValueError, match="BoundedArray"):
+        class _Unbounded(_Probe):
+            def action_spec(self):
+                return specs.Array(shape=(2,), dtype=np.float64)
+        action_scale.Wrapper(_Unbounded([0], [1]), -1, 1)
+    with pytest.raises(ValueError, match="finite"):
+        action_scale.Wrapper(_Probe([0.0, -2.0], [4.0, 2.0]),
+                             minimum=-np.inf, maximum=1)
+    with pytest.raises(ValueError, match="broadcast"):
+        action_scale.Wrapper(_Probe([0.0, -2.0], [4.0, 2.0]),
+                             minimum=[-1, -1, -1], maximum=1)
+
+
+def test_action_noise_clips_to_bounds():
+    from dm_control_tpu.suite.wrappers import action_noise
+
+    env = suite.load("pendulum", "swingup", task_kwargs={"random": 0})
+    noisy = action_noise.Wrapper(env, scale=10.0)  # huge noise
+    noisy.reset()
+    spec = env.action_spec()
+    seen = []
+    orig_step = env.step
+    env.step = lambda a: (seen.append(np.array(a)), orig_step(a))[1]
+    for _ in range(8):
+        noisy.step(np.zeros(spec.shape))
+    acts = np.stack(seen)
+    assert np.all(acts >= spec.minimum - 1e-12)
+    assert np.all(acts <= spec.maximum + 1e-12)
+    assert np.std(acts) > 0.1  # the noise actually perturbs
