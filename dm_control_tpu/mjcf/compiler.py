@@ -144,6 +144,8 @@ class _Compiler:
         self.equalities: List[dict] = []
         self.excludes: List[tuple] = []
         self.hfields: List[dict] = []
+        self.meshes: List[object] = []
+        self.mesh_ids: Dict[str, int] = {}
         self._parse_assets()
 
     def _parse_assets(self):
@@ -158,7 +160,55 @@ class _Compiler:
                     ncol=_int(a.get("ncol"), 0),
                     size=_floats(a.get("size"), 4),
                 ))
-            # meshes/textures/materials: not needed by the physics engine
+            elif a.tag == "mesh":
+                self._parse_mesh_asset(a)
+            # textures/materials: not needed by the physics engine
+
+    def _parse_mesh_asset(self, a: Element):
+        """Compiles one <asset><mesh>: STL payload or inline vertex list →
+        a centered, principal-axis-aligned MeshAsset (mjcf/mesh.py; the
+        analogue of MuJoCo's native mesh compiler, reached by the
+        reference through mj_loadXML)."""
+        from dm_control_tpu.mjcf import mesh as mesh_mod
+
+        scale = _floats(a.get("scale"), 3, pad=1.0)
+        vertex = _floats(a.get("vertex"))
+        fname = a.get("file")
+        name = a.get("name")
+        if name is None and fname is not None:
+            name = str(fname).rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        if name is None:
+            name = f"mesh{len(self.meshes)}"
+        if vertex is not None:
+            verts = np.asarray(vertex, np.float64).reshape(-1, 3)
+            faces = None  # hull of the point cloud (MuJoCo semantics)
+        else:
+            payload = getattr(a, "payload", None)
+            if payload is None and fname is not None:
+                f = a.attrib.get("file")
+                contents = getattr(f, "contents", None)
+                if contents is not None:  # attribute.Asset payload
+                    payload = contents
+            if payload is None:
+                raise ValueError(
+                    f"mesh asset {name!r}: no vertex data — pass the STL "
+                    f"bytes in the parser's assets dict or inline "
+                    f"vertex=...")
+            verts, faces = mesh_mod.parse_stl(bytes(payload))
+        if faces is None:
+            from scipy.spatial import ConvexHull
+
+            hull = ConvexHull(verts)
+            faces = hull.simplices.astype(np.int32)
+            center = verts[np.unique(faces)].mean(0)
+            aa, bb, cc = (verts[faces[:, 0]] - center,
+                          verts[faces[:, 1]] - center,
+                          verts[faces[:, 2]] - center)
+            flip = np.einsum("ij,ij->i", aa, np.cross(bb, cc)) < 0
+            faces[flip] = faces[flip][:, [0, 2, 1]]
+        compiled = mesh_mod.MeshAsset(name, verts, faces, scale=scale)
+        self.mesh_ids[name] = len(self.meshes)
+        self.meshes.append(compiled)
 
     # -- angles / orientations ---------------------------------------------
 
@@ -440,6 +490,23 @@ class _Compiler:
         pos = _floats(attrs.get("pos"), 3)
         pos = pos if pos is not None else np.zeros(3)
         quat = self._orientation(attrs)
+        meshid = -1
+        if gtype == GeomType.MESH:
+            meshname = attrs.get("mesh")
+            if meshname is None or str(meshname) not in self.mesh_ids:
+                raise ValueError(
+                    f"geom {attrs.get('name', elem.path)!r}: type='mesh' "
+                    f"needs a mesh= reference to a compiled <asset><mesh> "
+                    f"(have: {sorted(self.mesh_ids)})")
+            meshid = self.mesh_ids[str(meshname)]
+            mesh = self.meshes[meshid]
+            # compose the geom frame with the mesh's baked centering/
+            # principal-axis transform (MuJoCo stores the same transform
+            # in mjModel.mesh_pos/mesh_quat and pre-multiplies it here)
+            pos = pos + _quat_rot(quat, mesh.pos)
+            quat = _quat_mul(quat, mesh.quat)
+            # size: AABB half-extents in the (centered) geom frame
+            size = np.abs(mesh.verts).max(axis=0)
         fromto = _floats(attrs.get("fromto"), 6)
         if fromto is not None:
             f, t = fromto[:3], fromto[3:]
@@ -485,6 +552,7 @@ class _Compiler:
             rgba=_floats(attrs.get("rgba"), 4) if attrs.get("rgba") is not None else np.array([0.5, 0.5, 0.5, 1.0]),
             group=_int(attrs.get("group"), 0),
             hfieldname=attrs.get("hfield"),
+            meshid=meshid,
         ))
 
     _SITE_TYPES = {"sphere": 2, "capsule": 3, "ellipsoid": 4, "cylinder": 5,
@@ -559,7 +627,14 @@ class _Compiler:
 
         # geom masses/inertias
         for g in self.geoms:
-            vol, inert_unit = _geom_volume_inertia(g["type"], g["size"])
+            if g["type"] == GeomType.MESH and g.get("meshid", -1) >= 0:
+                # exact polyhedral mass properties (mjcf/mesh.py); the
+                # geom frame IS the mesh's principal frame after the
+                # baked composition in _compile_geom
+                mesh = self.meshes[g["meshid"]]
+                vol, inert_unit = mesh.volume, mesh.inertia_unit_mass
+            else:
+                vol, inert_unit = _geom_volume_inertia(g["type"], g["size"])
             if g["mass"] is not None:
                 m = g["mass"]
             else:
@@ -1119,20 +1194,11 @@ class _Compiler:
         rbound = []
         for g in geoms:
             t, s = g["type"], g["size"]
-            if t == GeomType.PLANE or t == GeomType.HFIELD:
-                rbound.append(0.0)
-            elif t == GeomType.SPHERE:
-                rbound.append(s[0])
-            elif t == GeomType.CAPSULE:
-                rbound.append(s[0] + s[1])
-            elif t == GeomType.CYLINDER:
-                rbound.append(math.sqrt(s[0] ** 2 + s[1] ** 2))
-            elif t == GeomType.BOX:
-                rbound.append(float(np.linalg.norm(s)))
-            elif t == GeomType.ELLIPSOID:
-                rbound.append(float(np.max(s)))
+            if t == GeomType.MESH and g.get("meshid", -1) >= 0:
+                rbound.append(float(np.linalg.norm(
+                    self.meshes[g["meshid"]].verts, axis=1).max()))
             else:
-                rbound.append(float(np.max(s)))
+                rbound.append(_geom_rbound(int(t), s))
 
         names = NameMap(
             body={b["name"]: i for i, b in enumerate(bodies)},
@@ -1335,8 +1401,12 @@ class _Compiler:
             hfield_nrow=self.hfields[0]["nrow"] if self.hfields else 0,
             hfield_ncol=self.hfields[0]["ncol"] if self.hfields else 0,
             geom_dataid=tuple(
-                ({h["name"]: i for i, h in enumerate(self.hfields)}
+                (g["meshid"] if g["type"] == GeomType.MESH
+                 else {h["name"]: i for i, h in enumerate(self.hfields)}
                  .get(g.get("hfieldname"), -1)) for g in geoms),
+            nmesh=len(self.meshes),
+            mesh_kdop=(f(np.stack([_mesh_kdop(mm) for mm in self.meshes]))
+                       if self.meshes else f(np.zeros((0, 26)))),
             hfield_size=f([h["size"] for h in self.hfields])
             if self.hfields else f(np.zeros((0, 4))),
             hfield_data=f(np.zeros((self.hfields[0]["nrow"],
@@ -1361,6 +1431,12 @@ _REACH_SLACK_ANGLE = 0.35  # rad (~20 deg)
 _REACH_SLACK_FRAC = 0.5    # plus 50% of the half-range
 
 
+def _mesh_kdop(mesh) -> np.ndarray:
+    from dm_control_tpu.mjcf.mesh import kdop_supports
+
+    return kdop_supports(mesh.verts)
+
+
 def _reach_prune_enabled() -> bool:
     import os
 
@@ -1380,7 +1456,8 @@ def _geom_rbound(gtype: int, size) -> float:
         return float(s[0] + s[1])
     if t == GeomType.CYLINDER:
         return float(math.sqrt(s[0] ** 2 + s[1] ** 2))
-    if t == GeomType.BOX:
+    if t == GeomType.BOX or t == GeomType.MESH:
+        # mesh size holds its AABB half-extents; the corner bounds it
         return float(np.linalg.norm(s))
     return float(np.max(s))
 

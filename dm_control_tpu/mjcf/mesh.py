@@ -117,6 +117,29 @@ def convex_hull_mass_properties(verts: np.ndarray):
     return mass_properties(verts, faces)
 
 
+def _kdop_directions() -> np.ndarray:
+    """26 unit directions (box axes + edge + corner bisectors): the
+    26-DOP half-space set the rasterizer intersects mesh geoms with."""
+    dirs = []
+    for x in (-1, 0, 1):
+        for y in (-1, 0, 1):
+            for z in (-1, 0, 1):
+                if x == y == z == 0:
+                    continue
+                dirs.append([x, y, z])
+    d = np.asarray(dirs, np.float64)
+    return d / np.linalg.norm(d, axis=1, keepdims=True)
+
+
+KDOP_DIRECTIONS = _kdop_directions()  # (26, 3)
+
+
+def kdop_supports(verts: np.ndarray) -> np.ndarray:
+    """Support values h_i = max_v d_i . v: the mesh is contained in the
+    convex polytope { x : d_i . x <= h_i } (tightest 26-DOP)."""
+    return (verts @ KDOP_DIRECTIONS.T).max(axis=0)
+
+
 class MeshAsset:
     """A compiled mesh: centered, principal-axis-aligned.
 

@@ -39,10 +39,23 @@ def _read_include(fname: str, assets: Dict[str, bytes], base_dir):
     raise IOError(f"Cannot resolve <include file={fname!r}>.")
 
 
+#: asset elements whose ``file`` payload the compiler may need
+_PAYLOAD_TAGS = frozenset({"mesh", "hfield", "texture", "skin"})
+
+
 def _convert(node, assets, base_dir, parent: Optional[Element] = None) -> Element:
     if node.tag is etree.Comment or node.tag is etree.PI:
         return None
     elem = Element(node.tag, dict(node.attrib), parent=parent)
+    if node.tag in _PAYLOAD_TAGS and "file" in node.attrib:
+        fname = node.attrib["file"]
+        if fname in assets:
+            elem.payload = assets[fname]
+        elif base_dir:
+            path = os.path.join(base_dir, fname)
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    elem.payload = f.read()
     for child in node:
         if child.tag is etree.Comment or child.tag is etree.PI:
             continue

@@ -401,6 +401,10 @@ class Model:
     geom_dataid: Tuple[int, ...] = static_field(default=())
     hfield_size: jax.Array = None  # (nhfield, 4) rx, ry, elevation_z, base_z
     hfield_data: jax.Array = None  # (nrow, ncol) normalized [0, 1]
+    nmesh: int = static_field(default=0)
+    # 26-DOP support values per mesh asset, geom frame (mjcf/mesh.py
+    # KDOP_DIRECTIONS); the rasterizer's convex stand-in for triangles
+    mesh_kdop: jax.Array = None  # (nmesh, 26)
 
     # ---- cameras (reference: dm_control/mujoco/engine.py:593 Camera;
     # modes follow mjCAMLIGHT_*: 0 fixed, 1 track, 2 trackcom,

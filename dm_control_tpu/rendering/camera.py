@@ -167,13 +167,21 @@ class Camera:
         dirs = _ray_directions(rot, fovy, self._height, self._width)
         gpos, gmat, gsize, gtypes = _scene_arrays(phys)
         f32 = jnp.float32
+        kdop = None
+        if getattr(m, "nmesh", 0):
+            sup = np.asarray(m.mesh_kdop, np.float32)
+            kdop = np.zeros((len(gtypes), sup.shape[1]), np.float32)
+            for g, gt in enumerate(gtypes):
+                if gt == int(GeomType.MESH) and m.geom_dataid[g] >= 0:
+                    kdop[g] = sup[m.geom_dataid[g]]
+            kdop = jnp.asarray(kdop)
         rgb, zdist, segid = raster.render_rays(
             jnp.asarray(pos, f32), jnp.asarray(dirs, f32),
             jnp.asarray(gpos, f32), jnp.asarray(gmat, f32),
             jnp.asarray(gsize, f32),
             jnp.asarray(np.asarray(m.geom_rbound, np.float32)),
             jnp.asarray(np.asarray(m.geom_rgba, np.float32)),
-            gtypes)
+            gtypes, geom_kdop=kdop)
         if segmentation:
             return raster.segmentation_image(segid, self._height, self._width)
         if depth:

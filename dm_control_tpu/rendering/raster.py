@@ -8,9 +8,10 @@ jax function of (geom poses, sizes, colors), so it vmaps over pixels,
 jits once per (ngeom, H, W) and runs on any backend.
 
 Primitive coverage: plane, sphere, capsule, ellipsoid, cylinder, box
-exactly; meshes render as their bounding sphere (geom_rbound) and
-height fields as their bounding box — both documented approximations
-(this is a debug/observation raster, not a production renderer).
+exactly; mesh geoms intersect their tightest 26-plane convex bound
+(k-DOP supports computed from the real vertices at compile time,
+mjcf/mesh.py) — silhouettes track the convex hull closely; height
+fields render as their bounding box (documented approximation).
 
 Outputs mirror dm_control's Camera.render contract
 (dm_control/mujoco/engine.py:685-750): uint8 RGB, float32 plane-depth
@@ -156,6 +157,33 @@ def _isect_box(o, d, size):
     return t, n
 
 
+def _isect_kdop(o, d, sup):
+    """Convex 26-DOP (mesh stand-in): ray vs intersection of half-spaces
+    n_i . x <= sup_i, n_i the static KDOP_DIRECTIONS table.  Exact for
+    the polytope; the polytope is the tightest 26-plane bound of the
+    mesh (mjcf/mesh.py kdop_supports)."""
+    from dm_control_tpu.mjcf.mesh import KDOP_DIRECTIONS
+
+    N = jnp.asarray(KDOP_DIRECTIONS, o.dtype)      # (K, 3)
+    no = N @ o                                     # (K,)
+    nd = d @ N.T                                   # (P, K)
+    safe = jnp.where(jnp.abs(nd) > 1e-12, nd, 1e-12)
+    tt = (sup[None, :] - no[None, :]) / safe       # (P, K)
+    entering = nd < 0.0
+    # parallel rays outside any half-space never hit
+    outside_parallel = jnp.any((jnp.abs(nd) <= 1e-12)
+                               & (no[None, :] > sup[None, :]), axis=1)
+    t_in = jnp.max(jnp.where(entering, tt, -_INF), axis=1)
+    t_out = jnp.min(jnp.where(entering, _INF, tt), axis=1)
+    hit = (t_in <= t_out) & (t_out > 1e-6) & ~outside_parallel
+    t = jnp.where(t_in > 1e-6, t_in, t_out)
+    t = jnp.where(hit, t, _INF)
+    # normal: the entering plane that set t_in
+    plane = jnp.argmax(jnp.where(entering, tt, -_INF), axis=1)
+    n = N[plane]
+    return t, n
+
+
 _ISECT = {
     int(GeomType.PLANE): _isect_plane,
     int(GeomType.SPHERE): _isect_sphere,
@@ -176,7 +204,8 @@ def _one_geom(isect, o, dirs, pos, mat, size):
 
 @functools.partial(jax.jit, static_argnames=("geom_types", "mesh_as_sphere"))
 def render_rays(origin, dirs, geom_pos, geom_mat, geom_size, geom_rbound,
-                geom_rgba, geom_types, mesh_as_sphere=True):
+                geom_rgba, geom_types, mesh_as_sphere=True,
+                geom_kdop=None):
     """Casts rays into the scene; returns (rgb u8, zdist f32, segid i32).
 
     origin (3,), dirs (P, 3) unit world-frame; geom arrays are the
@@ -196,9 +225,16 @@ def render_rays(origin, dirs, geom_pos, geom_mat, geom_size, geom_rbound,
         pos = geom_pos[idx]
         mat = geom_mat[idx]
         if gt in (int(GeomType.MESH), int(GeomType.HFIELD)):
-            if gt == int(GeomType.MESH) and mesh_as_sphere:
+            if gt == int(GeomType.MESH) and geom_kdop is not None:
+                # true convex silhouette via the per-geom 26-DOP
+                isect = _isect_kdop
+                size = geom_kdop[idx]
+            elif gt == int(GeomType.MESH) and mesh_as_sphere:
                 isect = _isect_sphere
                 size = jnp.stack([geom_rbound[idx]] * 3, -1)
+            elif gt == int(GeomType.MESH):
+                isect = _isect_box
+                size = geom_size[idx]
             else:  # hfield → bounding box (rx, ry, (top+base)/2 about mid)
                 isect = _isect_box
                 size = geom_size[idx]

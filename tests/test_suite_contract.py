@@ -61,6 +61,78 @@ def test_task_contract(domain, task):
             assert np.all(np.isfinite(np.asarray(v))), k
 
 
+# full behavioral contract over EVERY registered task (reference
+# suite_test.py:149-288 parameterizes over ALL_TASKS; the quick tier
+# keeps the per-domain sample above)
+_ALL = [pytest.param(d, t, id=f"{d}:{t}", marks=pytest.mark.slow)
+        for d, t in suite.ALL_TASKS]
+
+# random uniform actions don't reliably trigger these sensors
+# (reference suite_test.py:262-265)
+_CONSTANT_OBS_EXEMPT = {
+    ("manipulator", "touch"), ("stacker", "touch"),
+    ("quadruped", "force_torque"),
+}
+
+
+@pytest.mark.parametrize("domain,task", _ALL)
+def test_full_task_contract(domain, task):
+    """Spec conformance + same-seed determinism + no-constant-obs +
+    randomized initial state, for every task in the registry."""
+    n_steps = 30
+
+    def rollout(seed):
+        env = suite.load(domain, task, task_kwargs={"random": seed})
+        spec = env.action_spec()
+        rng = np.random.RandomState(1)
+        steps = [env.reset()]
+        for _ in range(n_steps):
+            a = rng.uniform(np.maximum(spec.minimum, -1),
+                            np.minimum(spec.maximum, 1)).astype(spec.dtype)
+            steps.append(env.step(a))
+        return env, steps
+
+    env, steps = rollout(42)
+    obs_spec = env.observation_spec()
+    for ts in steps:
+        # rewards.tolerance-based tasks live in [0,1]; lqr's quadratic
+        # `1 - cost` reward is unbounded below (reference lqr.py:252-258)
+        if ts.reward is not None:
+            assert np.isfinite(ts.reward)
+            if domain != "lqr":
+                assert 0.0 <= ts.reward <= 1.0
+        assert ts.discount is None or 0.0 <= ts.discount <= 1.0
+        assert set(ts.observation) == set(obs_spec)
+        for k, v in ts.observation.items():
+            arr = np.asarray(v)
+            assert arr.shape == obs_spec[k].shape, k
+            assert np.all(np.isfinite(arr)), k
+
+    # same-seed determinism: identical observation trajectories
+    _, steps2 = rollout(42)
+    for ts1, ts2 in zip(steps[1:], steps2[1:]):
+        assert ts1.reward == ts2.reward
+        for k in ts1.observation:
+            np.testing.assert_array_equal(
+                np.asarray(ts1.observation[k]),
+                np.asarray(ts2.observation[k]), err_msg=k)
+
+    # no observation stays entirely constant under random actions
+    for k in obs_spec:
+        if (domain, k) in _CONSTANT_OBS_EXEMPT:
+            continue
+        stack = np.stack([np.asarray(ts.observation[k]).ravel()
+                          for ts in steps])
+        assert not np.all(stack == stack[0]), (
+            f"observation {k!r} is constant over {n_steps} random steps")
+
+    # initial state is randomized across episodes (reference :281-288)
+    obs1 = env.reset().observation
+    obs2 = env.reset().observation
+    assert not all(np.array_equal(np.asarray(obs1[k]), np.asarray(obs2[k]))
+                   for k in obs1), "consecutive resets identical"
+
+
 def test_registry_matches_reference():
     ref = pytest.importorskip("dm_control.suite")
     assert set(ref.ALL_TASKS) - set(suite.ALL_TASKS) == set()
