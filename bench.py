@@ -28,23 +28,34 @@ except Exception:
 
 
 
+_LAST_WINDOWS = []  # seconds per timed window of the most recent rung
+
+
 def _time_run(run_j, state, n_steps, windows=3):
     """Best-of-N timed windows with host-readback sync.
 
     The remote-TPU tunnel intermittently stalls a single dispatch for
     many seconds (observed repeatedly in round 4); one poisoned window
     once under-reported a rung 3x.  The best window is the honest
-    device throughput.
+    device throughput; all windows are recorded so BENCH json carries
+    the variance (round-5 item 9: a single number can't distinguish a
+    regression from tunnel noise).
     """
     state = run_j(state, n_steps)
     _ = float(state.data.qpos[0, 0])
-    best = float("inf")
+    del _LAST_WINDOWS[:]
     for _i in range(windows):
         t0 = time.perf_counter()
         state = run_j(state, n_steps)
         _ = float(state.data.qpos[0, 0])
-        best = min(best, time.perf_counter() - t0)
-    return best
+        _LAST_WINDOWS.append(time.perf_counter() - t0)
+    return min(_LAST_WINDOWS)
+
+
+def _windows_field(prefix, steps):
+    """env-steps/s of each timed window, worst to best."""
+    return {prefix + "_windows": sorted(
+        round(steps / w) for w in _LAST_WINDOWS)}
 
 
 def bench_env(domain, task, batch, n_steps, dtype=jnp.float32):
@@ -174,6 +185,32 @@ def bench_ppo_train(batch=2048, n_updates=8, dtype=jnp.float32):
     return batch * cfg.steps_per_batch * n_updates / best
 
 
+def bench_ppo_train_humanoid(batch=512, n_updates=4, dtype=jnp.float32):
+    """Humanoid-class PPO learner throughput: rollout + GAE + update on
+    the 21-DoF contact-rich humanoid (the number a big-model training
+    run actually sees)."""
+    import dm_control_tpu.suite as suite
+    from dm_control_tpu.rl import ppo
+
+    env = suite.load_batch("humanoid", "run", dtype=dtype)
+    cfg = ppo.PPOConfig(steps_per_batch=16, num_minibatches=4,
+                        update_epochs=2)
+    train_step, opt = ppo.make_train_step(env, cfg)
+    state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(0), batch,
+                                 opt)
+    step_j = jax.jit(train_step)
+    state, metrics = step_j(state)
+    _ = float(metrics["mean_reward"])
+    best = float("inf")
+    for _w in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_updates):
+            state, metrics = step_j(state)
+        _ = float(metrics["mean_reward"])
+        best = min(best, time.perf_counter() - t0)
+    return batch * cfg.steps_per_batch * n_updates / best
+
+
 def pallas_selfcheck(batch=256, n_steps=5):
     """On-chip correctness gate for the Pallas fast paths: steps the
     humanoid batch with the Pallas kernels enabled vs DMCT_PALLAS=0
@@ -222,41 +259,56 @@ def pallas_selfcheck(batch=256, n_steps=5):
 
 def _rung_cartpole():
     env_sps, _ = bench_env("cartpole", "swingup", 8192, 128)
-    return {"cartpole_env_steps_per_s": round(env_sps)}
+    return {"cartpole_env_steps_per_s": round(env_sps),
+            **_windows_field("cartpole", 8192 * 128)}
 
 
 def _rung_humanoid():
     # ladder-3: flagship 21-DoF contact-rich humanoid
     env_sps, phys_sps = bench_env("humanoid", "run", 1024, 32)
     return {"humanoid_env_steps_per_s": round(env_sps),
-            "humanoid_physics_steps_per_s": round(phys_sps)}
+            "humanoid_physics_steps_per_s": round(phys_sps),
+            **_windows_field("humanoid", 1024 * 32)}
 
 
 def _rung_quadruped():
     # ladder-3b: quadruped:walk (ellipsoid feet, torque sensors)
     env_sps, _ = bench_env("quadruped", "walk", 1024, 32)
-    return {"quadruped_env_steps_per_s": round(env_sps)}
+    return {"quadruped_env_steps_per_s": round(env_sps),
+            **_windows_field("quadruped", 1024 * 32)}
 
 
 def _rung_manipulation():
     # ladder-4: composer manipulation task on the batched path
     env_sps, _ = bench_manipulation("reach_site_features", 1024, 32)
-    return {"manipulation_reach_env_steps_per_s": round(env_sps)}
+    return {"manipulation_reach_env_steps_per_s": round(env_sps),
+            **_windows_field("manipulation_reach", 1024 * 32)}
 
 
 def _rung_soccer():
     # ladder-5a: 2v2 soccer (multi-agent rewards, goal autoreset)
-    return {"soccer_2v2_env_steps_per_s": round(bench_soccer(512, 32))}
+    sps = bench_soccer(512, 32)
+    return {"soccer_2v2_env_steps_per_s": round(sps),
+            **_windows_field("soccer_2v2", 512 * 32)}
 
 
 def _rung_tracking():
     # ladder-5b: multi-clip mocap tracking (comic reward)
-    return {"tracking_env_steps_per_s": round(bench_tracking(1024, 32))}
+    sps = bench_tracking(1024, 32)
+    return {"tracking_env_steps_per_s": round(sps),
+            **_windows_field("tracking", 1024 * 32)}
 
 
 def _rung_ppo():
     # ladder-6: full jitted-PPO learner throughput
     return {"ppo_train_env_steps_per_s": round(bench_ppo_train())}
+
+
+def _rung_ppo_humanoid():
+    # ladder-6b: heavyweight-model learner (round-5 item 9: the training
+    # story must not rest on cartpole alone)
+    return {"ppo_train_humanoid_env_steps_per_s":
+            round(bench_ppo_train_humanoid())}
 
 
 def _rung_pallas():
@@ -281,6 +333,7 @@ _RUNGS = [
     ("soccer", _rung_soccer, 900),
     ("tracking", _rung_tracking, 900),
     ("ppo_train", _rung_ppo, 900),
+    ("ppo_train_humanoid", _rung_ppo_humanoid, 1200),
     ("pallas_selfcheck", _rung_pallas, 900),
     ("cheetah", _rung_cheetah, 2400),
 ]

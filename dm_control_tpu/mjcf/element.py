@@ -36,6 +36,9 @@ class _Attrib(dict):
             else None
         if value is not None and tag is not None:
             _attribute.check_value(tag, key, value, self._owner.path)
+            from dm_control_tpu.mjcf import debugging
+            if debugging.debug_mode_enabled():
+                debugging.record_attribute_write(self._owner, key)
         super().__setitem__(key, value)
 
     def update(self, *args, **kw):  # keep validation on bulk writes

@@ -47,16 +47,53 @@ def png_encode(rgb: np.ndarray) -> bytes:
             + chunk(b"IEND", b""))
 
 
+#: the viewer's input bindings, surfaced by the help pane (the analogue
+#: of the reference's HelpPane rows, dm_control/viewer/views.py:66-98)
+HELP_BINDINGS = [
+    ("drag", "orbit camera"),
+    ("right-drag", "pan camera"),
+    ("shift+right-drag", "vertical pan"),
+    ("wheel", "zoom"),
+    ("ctrl+drag", "drag selected body (perturbation)"),
+    ("double-click", "select body"),
+    ("space", "pause / resume"),
+    ("backspace", "restart episode"),
+    ("right arrow", "advance one step while paused"),
+    ("[ / ]", "previous / next camera"),
+    ("h or F1", "toggle this help pane"),
+    ("s", "capture current frame (PNG download)"),
+]
+
 _PAGE = """<!DOCTYPE html>
 <html><head><title>dm_control_tpu viewer</title><style>
 body { background:#111; color:#ddd; font-family:monospace; }
 #view { border:1px solid #444; cursor:crosshair; }
+#help { display:none; position:absolute; left:20px; top:60px;
+        background:rgba(0,0,0,0.85); border:1px solid #666;
+        padding:10px 16px; z-index:2; }
+#help td { padding:1px 10px; }
+#status td { padding:1px 10px; color:#9c9; }
 </style></head><body>
-<div>dm_control_tpu viewer &mdash; drag=orbit, right-drag=pan, wheel=zoom,
-ctrl-drag=perturb, dblclick=select, space=pause, backspace=restart</div>
+<div>dm_control_tpu viewer &mdash; press <b>h</b> for help,
+<b>s</b> to capture a frame</div>
+<div id="help"><b>Input bindings</b><table id="helprows"></table></div>
 <img id="view" width="WIDTH" height="HEIGHT"/>
-<div id="status"></div>
+<table id="status"></table>
 <script>
+fetch('/help').then(r => r.json()).then(rows => {
+  document.getElementById('helprows').innerHTML = rows.map(
+    r => '<tr><td>' + r[0] + '</td><td>' + r[1] + '</td></tr>').join('');
+});
+function toggleHelp() {
+  const el = document.getElementById('help');
+  el.style.display = el.style.display === 'block' ? 'none' : 'block';
+}
+function capture() {
+  const a = document.createElement('a');
+  a.href = '/capture?' + Date.now();
+  a.download = 'frame.png';
+  a.click();
+}
 const img = document.getElementById('view');
 let dragging = false, lastX = 0, lastY = 0, button = 0;
 function post(ev) {
@@ -91,6 +128,8 @@ img.addEventListener('dblclick', e => {
 });
 img.addEventListener('contextmenu', e => e.preventDefault());
 window.addEventListener('keydown', e => {
+  if (e.key === 'h' || e.key === 'F1') { toggleHelp(); return; }
+  if (e.key === 's') { capture(); return; }
   post({type: 'key', key: e.key === ' ' ? ' ' : e.key, pressed: true,
         mods: mods(e)});
 });
@@ -101,7 +140,8 @@ img.onload = () => setTimeout(refresh, 40);
 img.onerror = () => setTimeout(refresh, 500);
 refresh();
 setInterval(() => fetch('/status').then(r => r.json()).then(s => {
-  document.getElementById('status').textContent = JSON.stringify(s);
+  document.getElementById('status').innerHTML = Object.entries(s).map(
+    ([k, v]) => '<tr><td>' + k + '</td><td>' + v + '</td></tr>').join('');
 }), 1000);
 </script></body></html>
 """
@@ -121,6 +161,8 @@ class WebViewerServer:
         self.viewer = Viewer(self.camera, env.physics,
                              n_fixed_cameras=n_fixed)
         self.paused = False
+        self._fps = 0.0
+        self._last_tick = None
         self._lock = threading.Lock()
         self._frame_png = png_encode(np.zeros((height, width, 3),
                                               np.uint8))
@@ -141,6 +183,19 @@ class WebViewerServer:
             def do_GET(self):
                 if self.path.startswith("/frame"):
                     self._send(200, "image/png", server._frame_png)
+                elif self.path.startswith("/capture"):
+                    # frame capture: same pixels, download semantics
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Disposition",
+                                     "attachment; filename=frame.png")
+                    self.send_header("Content-Length",
+                                     str(len(server._frame_png)))
+                    self.end_headers()
+                    self.wfile.write(server._frame_png)
+                elif self.path.startswith("/help"):
+                    self._send(200, "application/json",
+                               json.dumps(HELP_BINDINGS).encode())
                 elif self.path.startswith("/status"):
                     self._send(200, "application/json",
                                json.dumps(server.status()).encode())
@@ -173,6 +228,8 @@ class WebViewerServer:
         self.paused = not self.paused
 
     def status(self):
+        """Status-pane fields (the reference's ViewerStatus rows,
+        dm_control/viewer/application.py:98-130)."""
         return {
             "state": self.runtime.state.name,
             "paused": self.paused,
@@ -180,6 +237,7 @@ class WebViewerServer:
             "selected_body": self.viewer.manipulator.selected_body,
             "camera": ("free" if self.viewer.camera_select.is_free
                        else self.viewer.camera_select.camera_id),
+            "fps": round(self._fps, 1),
         }
 
     def handle_event(self, ev):
@@ -200,6 +258,13 @@ class WebViewerServer:
 
     def tick(self, elapsed: float):
         """One display tick: perturb, step, render."""
+        import time as _time
+
+        now = _time.perf_counter()
+        if self._last_tick is not None and now > self._last_tick:
+            inst = 1.0 / (now - self._last_tick)
+            self._fps = 0.9 * self._fps + 0.1 * inst if self._fps else inst
+        self._last_tick = now
         with self._lock:
             pert = self.viewer.manipulator.perturbation_force
             if pert is not None:

@@ -84,6 +84,30 @@ def test_debugging_records_origins(tmp_path):
         out = debugging.dump_model(root, str(tmp_path / "dump.xml"))
         text = open(out).read()
         assert "created at" in text
+
+        # per-attribute write tracking (reference stack-trace capture)
+        geom = wb.add("geom", type="sphere", size="0.1")
+        geom.attrib["size"] = "0.2"
+        assert debugging.attribute_origin(geom, "size") is not None
+        assert "test_mjcf_utils.py" in debugging.attribute_origin(
+            geom, "size")
+        msg = debugging.element_debug_message(geom, "size")
+        assert "created at" in msg and "last set at" in msg
+
+        # frozen stacks attribute bulk operations to the caller
+        with debugging.freeze_current_stack_trace():
+            inner = wb.add("body", name="b")
+        assert debugging.origin_of(inner) is not None
+
+        # full dump: annotated XML + complete stack traces on disk
+        dump_dir = debugging.dump_full_debug_info_to_disk(
+            root, str(tmp_path / "full"))
+        xml_text = open(f"{dump_dir}/model_annotated.xml").read()
+        stacks = open(f"{dump_dir}/stack_traces.txt").read()
+        assert "created at" in xml_text
+        assert "element <geom>" in stacks
+        assert "attribute 'size'" in stacks
+        assert "test_mjcf_utils.py" in stacks
     finally:
         debugging.enable_debug_mode(False)
 

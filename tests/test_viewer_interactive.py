@@ -199,5 +199,15 @@ def test_web_gui_end_to_end(cartpole_env):
             base + "/status", timeout=10).read())
         assert status["paused"] is True
         assert status["state"] in ("START", "RUNNING", "STOP", "STOPPED")
+        assert "fps" in status and "camera" in status  # status pane rows
+        # help pane rows (reference views.py HelpPane)
+        rows = json.loads(urllib.request.urlopen(
+            base + "/help", timeout=10).read())
+        assert any("pause" in desc for _k, desc in rows)
+        assert any("orbit" in desc for _k, desc in rows)
+        # frame capture: PNG with download semantics
+        req = urllib.request.urlopen(base + "/capture", timeout=10)
+        assert req.headers["Content-Disposition"].startswith("attachment")
+        assert req.read()[:8] == b"\x89PNG\r\n\x1a\n"
     finally:
         server.httpd.shutdown()
