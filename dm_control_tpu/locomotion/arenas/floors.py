@@ -14,7 +14,8 @@ class Floor(Arena):
         wb = self._mjcf_root.first("worldbody")
         self._ground_geom = wb.add(
             "geom", name="groundplane", type="plane",
-            size=f"{size[0]} {size[1]} 0.25", friction="0.7 0.005 0.0001")
+            size=f"{size[0]} {size[1]} 0.25")  # default friction, like the
+        # reference groundplane (floors.py:77-82 sets no friction attr)
 
     @property
     def ground_geoms(self):

@@ -141,7 +141,13 @@ class ReferencePosesTask(composer.Task, BatchableTask):
                                   float)
             self._task_observables[key] = Generic(obs_fn)
             self._task_observables[key].enabled = key in enabled
-        control_timestep = 0.03  # mocap dt
+        # control advances one mocap frame per step, so the control
+        # timestep IS the clip dt (reference tracking.py uses the
+        # loaded clip's dt; 0.03 is the CMU-2019 default)
+        dts = {float(t.dt) for t in self._trajectories.values()}
+        if len(dts) > 1:
+            raise ValueError(f"clips disagree on dt: {sorted(dts)}")
+        control_timestep = dts.pop() if dts else 0.03
         self.set_timesteps(control_timestep, physics_timestep)
 
     @property
@@ -161,13 +167,24 @@ class ReferencePosesTask(composer.Task, BatchableTask):
         jnt_type = np.asarray(m.jnt_type)
         qadr = np.asarray(m.jnt_qposadr)
         dadr = np.asarray(m.jnt_dofadr)
+        # the walker's root free joint: named either '<name>/...' (inside
+        # the attached tree) or '<name>_root' (add_free_entity's joint on
+        # the attachment frame itself)
         root_j = next(j for n, j in names.joint.items()
-                      if n.startswith(prefix)
+                      if n.startswith(self._walker.name)
                       and jnt_type[j] == JointType.FREE)
         joints = [names.joint[prefix + n]
                   for n in self._walker.observable_joint_names]
-        body_ids = sorted(b for n, b in names.body.items()
-                          if n.startswith(prefix))
+        # clip body_positions/body_quaternions columns align to the
+        # walker's curated tracking-body sequence when it declares one
+        # (reference walker.mocap_tracking_bodies); otherwise all
+        # attached bodies in id order
+        tracked = getattr(self._walker, "mocap_tracking_body_names", None)
+        if tracked:
+            body_ids = [names.body[prefix + n] for n in tracked]
+        else:
+            body_ids = sorted(b for n, b in names.body.items()
+                              if n.startswith(prefix))
         ee_ids = [names.body[prefix + n]
                   for n in self._walker.end_effector_body_names]
         app_ids = list(ee_ids)
@@ -359,6 +376,31 @@ class ReferencePosesTask(composer.Task, BatchableTask):
             "com": np.asarray(com).reshape(n_clip, tmax, 3),
             "appendages": np.asarray(app).reshape(n_clip, tmax, -1, 3),
         }
+        # clips that SHIP precomputed reference features override the FK
+        # reconstruction — the reference consumes the stored arrays
+        # verbatim (tracking.py:1007, utils.get_features on the proto),
+        # and real CMU banks bake them in
+        stored = {"body_positions": "body_pos",
+                  "body_quaternions": "body_quat",
+                  "center_of_mass": "com",
+                  "appendages": "appendages"}
+        for k, cid in enumerate(ids):
+            clip = self._trajectories[cid]
+            keys = set(clip.keys())
+            for src, dst in stored.items():
+                if src not in keys:
+                    continue
+                arr = np.asarray(clip[src], np.float64)
+                if src == "center_of_mass":
+                    arr = arr.reshape(arr.shape[0], -1)[:, :3]
+                n = min(arr.shape[0], tmax)
+                dest = self._bank[dst]
+                if not dest.flags.writeable:  # fresh-from-device array
+                    dest = np.array(dest)
+                    self._bank[dst] = dest
+                if arr[:n].shape == dest[k, :n].shape:
+                    dest[k, :n] = arr[:n]
+                    dest[k, n:] = arr[n - 1]
         return self._bank
 
     # -- episode selection (reference tracking.py:451-527) ------------------
@@ -441,7 +483,10 @@ class ReferencePosesTask(composer.Task, BatchableTask):
     def after_step(self, physics, random_state):
         self._time_step += 1
         self._update_error(physics)
-        if self._time_step >= self._clip_end - 1:
+        # the clip ends max(ref_steps)+1 frames early so the lookahead
+        # reference observations never run off the end (reference
+        # tracking.py:523 _last_step)
+        if self._time_step >= self._clip_end - max(self._ref_steps) - 1:
             self._end_mocap = True
 
     def get_reward(self, physics):
@@ -527,8 +572,11 @@ class ReferencePosesTask(composer.Task, BatchableTask):
             d.qpos.dtype)
         err = self._termination_error_from(wf, rf)
         truncate = err > self._termination_error_threshold
-        end = self._batch_tstep(m, d) >= jnp.asarray(bank["ends"])[
-            m.task_state["_clip"]] - 1
+        # mirror the host path: clips end max(ref_steps)+1 frames early
+        # (reference tracking.py:523 _last_step)
+        end = self._batch_tstep(m, d) >= (
+            jnp.asarray(bank["ends"])[m.task_state["_clip"]]
+            - max(self._ref_steps) - 1)
         discount = jnp.where(truncate, jnp.zeros((), d.qpos.dtype),
                              jnp.ones((), d.qpos.dtype))
         return truncate | end, discount

@@ -31,9 +31,11 @@ ATTRIBUTES: Dict[str, Set[str]] = {
     "include": {"file"},
     "compiler": {"angle", "coordinate", "inertiafromgeom", "meshdir",
                  "texturedir", "settotalmass", "autolimits",
-                 "boundmass", "boundinertia", "balanceinertia"},
+                 "boundmass", "boundinertia", "balanceinertia",
+                 "eulerseq", "discardvisual", "fusestatic"},
     "option": {"timestep", "integrator", "cone", "solver", "iterations",
-               "ls_iterations", "noslip_iterations", "tolerance",
+               "ls_iterations", "noslip_iterations", "noslip_tolerance",
+               "ls_tolerance", "tolerance",
                "gravity", "wind", "magnetic", "density", "viscosity",
                "impratio", "collision", "jacobian", "o_margin",
                "o_solref", "o_solimp", "apirate", "timeconst"},

@@ -243,39 +243,47 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
     a_s = d.qacc_smooth
     M = d.qM
 
-    def total_cost(x):
-        jar = efc.J @ x - efc.aref
+    def cost_from_jar(x, jar):
+        """Total cost given the row-space residual jar = J x - aref —
+        the J-free evaluation the Newton loop uses (jar is maintained
+        incrementally, the way native mj_solNewton does)."""
         cost, _, _ = _cost_terms(efc, jar, eq, fl, uni)
         ccost, _, _ = _cone_eval(cone_groups, jar)
         dx = x - a_s
         # cast: with a wider-dtype model the row math promotes, but the
         # loop carries must stay in the data dtype
         return jnp.asarray(0.5 * dx @ (M @ dx) + jnp.sum(cost) + ccost,
-                           dtype), jar
+                           dtype)
+
+    def total_cost(x):
+        jar = jnp.asarray(efc.J @ x - efc.aref, dtype)
+        return cost_from_jar(x, jar), jar
 
     # warm start: pick the better of qacc_smooth and the previous qacc
     warmstart_ok = not (m.opt.disableflags & DisableBit.WARMSTART)
-    c0, _ = total_cost(a_s)
+    c0, jar_s = total_cost(a_s)
     if warmstart_ok:
-        cw, _ = total_cost(d.qacc_warmstart)
-        x0 = jnp.where(cw < c0, d.qacc_warmstart, a_s)
+        cw, jar_w = total_cost(d.qacc_warmstart)
+        take_w = cw < c0
+        x0 = jnp.where(take_w, d.qacc_warmstart, a_s)
+        jar0 = jnp.where(take_w, jar_w, jar_s)
         cost0 = jnp.minimum(cw, c0)
     else:
         x0 = a_s
+        jar0 = jar_s
         cost0 = c0
 
     scale = m.stat.meaninertia * max(1, m.nv)
     tol = m.opt.tolerance
 
     def cond(carry):
-        x, cost, improvement, gnorm, it = carry
+        x, jar, cost, improvement, gnorm, it = carry
         return ((it < m.opt.iterations)
                 & (improvement > tol * scale)
                 & (gnorm > tol * scale))
 
     def body(carry):
-        x, cost, _, _, it = carry
-        jar = efc.J @ x - efc.aref
+        x, jar, cost, _, _, it = carry
         _, dcost, hw = _cost_terms(efc, jar, eq, fl, uni)
         ccost, dparts, hblocks = _cone_eval(cone_groups, jar,
                                             need_hess=True)
@@ -292,7 +300,8 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
             ops_linalg.chol_solve(H, jnp.asarray(grad, H.dtype)), dtype)
 
         # exact line search on the piecewise-smooth φ(α)
-        jp = efc.J @ p
+        # cast: a wider-dtype model J would promote the carried jar
+        jp = jnp.asarray(efc.J @ p, dtype)
         mp = M @ p
         p_mp = p @ mp
         x_as = x - a_s
@@ -320,10 +329,14 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
         # minimizer bisection is linear, and 2^-12 alpha precision
         # flips contact boundaries a few steps later (seen on
         # manipulator:bring_ball).
+        import os as _os
         if dtype == jnp.float64:
             nls = max(min(m.opt.ls_iterations, 25), 12)
+            ngrow = 10
         else:
             nls = max(min(m.opt.ls_iterations, 12), 8)
+            nls = int(_os.environ.get("DMCT_NLS", nls))
+            ngrow = int(_os.environ.get("DMCT_NGROW", 10))
 
         # Safeguarded exact line search: φ is convex and piecewise
         # smooth (zone switches in cone/limit rows make plain 1D
@@ -351,9 +364,12 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
 
         d1_1, _ = phi_derivs(one)
         carry = (one, d1_1)
-        for _ in range(10):
+        for _ in range(ngrow):
             carry = grow_body(carry)
         hi, d1_hi = carry
+        # the last grow point with phi' < 0 is hi/2 (or 0 when the
+        # bracket was [0, 1] from the start) — a free 2x tighter start
+        lo0 = jnp.where(d1_1 < 0, hi * 0.5, jnp.zeros((), dtype))
 
         def ls_body(carry):
             lo, hi, alpha = carry
@@ -366,23 +382,27 @@ def solve(m: Model, d: Data, efc: Efc) -> Data:
             nxt = jnp.where(inside, newton, mid)
             return lo, hi, jnp.where(d1 == 0, alpha, nxt)
 
-        carry = (jnp.zeros((), dtype), hi, one)
+        carry = (lo0, hi, 0.5 * (lo0 + hi))
         for _ in range(nls):
             carry = ls_body(carry)
         _, _, alpha = carry
         x_new = x + alpha * p
-        cost_new, _ = total_cost(x_new)
+        # J-free cost at the candidate: jar updates incrementally
+        # (jar' = jar + alpha jp), saving two full J passes per trip
+        jar_new = jar + alpha * jp
+        cost_new = cost_from_jar(x_new, jar_new)
         # guard: reject non-descent steps
         better = cost_new < cost
         x_new = jnp.where(better, x_new, x)
+        jar_new = jnp.where(better, jar_new, jar)
         cost_new = jnp.minimum(cost_new, cost)
         improvement = cost - cost_new
         gnorm = jnp.linalg.norm(grad)
-        return (x_new, cost_new, improvement, gnorm, it + 1)
+        return (x_new, jar_new, cost_new, improvement, gnorm, it + 1)
 
-    init = (x0, cost0, jnp.asarray(jnp.inf, dtype),
+    init = (x0, jar0, cost0, jnp.asarray(jnp.inf, dtype),
             jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32))
-    x, cost, _, _, niter = jax.lax.while_loop(cond, body, init)
+    x, _jar_c, cost, _, _, niter = jax.lax.while_loop(cond, body, init)
 
     jar = efc.J @ x - efc.aref
     _, dcost, _ = _cost_terms(efc, jar, eq, fl, uni)

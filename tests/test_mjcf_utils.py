@@ -248,6 +248,10 @@ def test_site_attach_honors_euler_orientation():
     tilted = base.add("site", name="tilted", pos="0 0.1 0", euler="0 0 90")
     frame = tilted.attach(_hand_model())
     assert frame.get("pos") == "0 0.1 0"
-    assert frame.get("euler") == "0 0 90"
+    # attach canonicalizes the tree to radians (mjcf/units.py), so the
+    # degree-authored euler carries over converted, same orientation
+    import numpy as np
+    euler = [float(x) for x in str(frame.get("euler")).split()]
+    np.testing.assert_allclose(euler, [0, 0, np.pi / 2], atol=1e-12)
     m = mjcf.compile_model(arm)
     assert m.nu == 2
