@@ -71,6 +71,15 @@ def main() -> None:
     # every process must agree on the replicated result
     print(f"DIST_OK rank={rank} procs={jax.process_count('cpu')} "
           f"mean_reward={reward:.6f}", flush=True)
+    # sync both ranks explicitly (blocks without the coordination
+    # service's 60 s shutdown deadline — compile skew on a loaded
+    # machine routinely exceeds it), then exit WITHOUT the atexit
+    # shutdown barrier; the DIST_OK line above is the test's contract
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("dist_test_done")
+    print(f"DIST_SYNCED rank={rank}", flush=True)
+    os._exit(0)
 
 
 if __name__ == "__main__":
