@@ -32,12 +32,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None,
-               local_device_ids: Optional[Sequence[int]] = None) -> None:
+               local_device_ids: Optional[Sequence[int]] = None,
+               **kwargs) -> None:
     """Joins this process to the distributed runtime.
 
     On TPU pods all arguments are inferred from the environment; on other
     platforms pass the coordinator's host:port plus this process's rank.
-    No-op if the distributed runtime is already initialized.
+    Extra keyword arguments (e.g. ``shutdown_timeout_seconds`` — raise it
+    when process completion times can skew more than the 300 s default,
+    such as independently-compiling CPU workers) pass through to
+    ``jax.distributed.initialize``.  No-op if already initialized.
     """
     from jax._src import distributed as _dist
 
@@ -48,7 +52,8 @@ def initialize(coordinator_address: Optional[str] = None,
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
-            local_device_ids=local_device_ids)
+            local_device_ids=local_device_ids,
+            **kwargs)
     except RuntimeError:
         # single-process usage without a coordinator: nothing to join
         if coordinator_address is not None:

@@ -33,8 +33,13 @@ def main() -> None:
 
     from dm_control_tpu.parallel import runtime as rt
 
+    # each worker compiles the train step independently; under machine
+    # load the ranks can finish many minutes apart, so the shutdown
+    # barrier needs far more than its 300 s default before the
+    # coordination service declares the slower rank dead
     rt.initialize(coordinator_address=f"127.0.0.1:{port}",
-                  num_processes=2, process_id=rank)
+                  num_processes=2, process_id=rank,
+                  shutdown_timeout_seconds=1200)
     assert jax.process_count("cpu") == 2, jax.process_count("cpu")
 
     import jax.numpy as jnp
@@ -71,15 +76,6 @@ def main() -> None:
     # every process must agree on the replicated result
     print(f"DIST_OK rank={rank} procs={jax.process_count('cpu')} "
           f"mean_reward={reward:.6f}", flush=True)
-    # sync both ranks explicitly (blocks without the coordination
-    # service's 60 s shutdown deadline — compile skew on a loaded
-    # machine routinely exceeds it), then exit WITHOUT the atexit
-    # shutdown barrier; the DIST_OK line above is the test's contract
-    from jax.experimental import multihost_utils
-
-    multihost_utils.sync_global_devices("dist_test_done")
-    print(f"DIST_SYNCED rank={rank}", flush=True)
-    os._exit(0)
 
 
 if __name__ == "__main__":
