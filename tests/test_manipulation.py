@@ -96,3 +96,21 @@ def test_reach_reward_increases_near_target():
     # reward is max when pinch site is at the target
     task._target_pos = np.asarray(task._pinch_position(physics))
     assert task.get_reward(physics) == pytest.approx(1.0)
+
+
+def test_jaco_joint_ranges_survive_attach():
+    """Regression (round 5): the radian-authored Jaco joint ranges were
+    re-interpreted as degrees when the arm attached under the
+    degree-default arena, crushing them 57x (joint_2's [47deg, 313deg]
+    range became [0.014, 0.095] rad) and keeping its limit rows
+    permanently violated.  Pin the compiled values."""
+    import numpy as np
+
+    import dm_control_tpu.manipulation as manipulation
+
+    m = manipulation.load_batch("reach_site_features").model
+    rng = np.asarray(m.jnt_range)
+    j2 = m.names.joint["arm/joint_2"]
+    np.testing.assert_allclose(rng[j2], [0.820305, 5.462881], rtol=1e-5)
+    j3 = m.names.joint["arm/joint_3"]
+    np.testing.assert_allclose(rng[j3], [0.331613, 5.951573], rtol=1e-5)
